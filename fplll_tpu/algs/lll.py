@@ -1,0 +1,254 @@
+"""LLL reduction (the L2 algorithm with lazy size reduction).
+
+Re-design of the reference's LLLReduction
+(/root/reference/fplll/lll.{h,cpp}: main loop lll.cpp:44-163, lazy Babai
+lll.cpp:166-224, verifier lll.cpp:226-258) over the TPU build's GSO
+engines. Control flow is host-side (it is inherently sequential, see
+SURVEY.md "hard parts"); the O(n^2) inner arithmetic is vectorized
+through the GSO float context, and the blocked device path lives in
+fplll_tpu.ops.blockgso.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+from ..defs import (LLL_EARLY_RED, LLL_SIEGEL, LLL_VERBOSE, RED_BABAI_FAILURE,
+                    RED_GSO_FAILURE, RED_LLL_FAILURE, RED_SUCCESS,
+                    SIZE_RED_FAILURE_THRESH, get_red_status_str)
+from ..core.gso import MatGSOInterface
+
+__all__ = ["LLLReduction", "is_lll_reduced"]
+
+
+def _is_power_of_2(x: int) -> bool:
+    return (x & (x - 1)) == 0
+
+
+class LLLReduction:
+    def __init__(self, m: MatGSOInterface, delta: float, eta: float, flags: int = 0):
+        # early reduction requires lazy gram rows: unavailable in proved
+        # (int-gram) mode, as in the reference (lll.cpp:31-36)
+        self.m = m
+        self.ctx = m.ctx
+        self.enable_early_red = bool(flags & LLL_EARLY_RED) and not m.enable_int_gram
+        self.siegel = bool(flags & LLL_SIEGEL)
+        self.verbose = bool(flags & LLL_VERBOSE)
+        self.delta = delta
+        self.eta = eta
+        self.swap_threshold = delta - eta * eta if self.siegel else delta
+        self.status = RED_SUCCESS
+        self.final_kappa = 0
+        self.last_early_red = 0
+        self.zeros = 0
+        self.n_swaps = 0
+
+    # -- main loop (lll.cpp:44-163) -----------------------------------------
+    def lll(self, kappa_min: int = 0, kappa_start: int = 0, kappa_end: int = -1,
+            size_reduction_start: int = 0) -> bool:
+        m, ctx = self.m, self.ctx
+        if kappa_end == -1:
+            kappa_end = m.d
+        start_time = time.time()
+        kappa = kappa_start + 1
+        kappa_max = 0
+        d = kappa_end - kappa_min
+        self.zeros = 0
+        self.n_swaps = 0
+        self.final_kappa = 0
+
+        while self.zeros < d and m.b_row_is_zero(kappa_min):
+            m.move_row(kappa_min, kappa_end - 1 - self.zeros)
+            self.zeros += 1
+
+        if self.zeros < d:
+            if kappa_start > 0 and not self.babai(kappa_start, kappa_start,
+                                                  size_reduction_start):
+                self.final_kappa = kappa_start
+                return False
+            if not m.update_gso_row(kappa_start):
+                self.final_kappa = kappa_start
+                return False
+
+        max_iter = int(d - 2 * d * (d + 1) *
+                       ((m.get_max_exp_of_b() + 3) / math.log(self.delta)))
+
+        it = 0
+        lovasz = [None] * (kappa_end + 1)
+        while it < max_iter and kappa < kappa_end - self.zeros:
+            it += 1
+            if kappa > kappa_max:
+                if self.verbose:
+                    print(f"Discovering vector {kappa - kappa_min + 1 + self.zeros}"
+                          f"/{d} cputime={time.time() - start_time:.2f}",
+                          file=sys.stderr)
+                kappa_max = kappa
+                if self.enable_early_red and _is_power_of_2(kappa) and \
+                        kappa > self.last_early_red:
+                    if not self.early_reduction(kappa, size_reduction_start):
+                        self.final_kappa = kappa
+                        return False
+
+            # lazy size reduction
+            if not self.babai(kappa, kappa, size_reduction_start):
+                self.final_kappa = kappa
+                return False
+
+            # Lovasz tests: lovasz[i] = ||pi_i(b_kappa)||^2 prefix chain
+            # (lll.cpp:109-125)
+            with ctx.guard():
+                lovasz[0] = m.get_gram(kappa, kappa)
+                for i in range(1, kappa + 1):
+                    mu_v, _ = m.get_mu_exp(kappa, i - 1)
+                    r_v, _ = m.get_r_exp(kappa, i - 1)
+                    lovasz[i] = lovasz[i - 1] - mu_v * r_v
+                rkk, _ = m.get_r_exp(kappa - 1, kappa - 1)
+                t = rkk * ctx.scalar(self.swap_threshold)
+                if m.enable_row_expo:
+                    t = ctx.ldexp(t, 2 * int(m.row_expo[kappa - 1] - m.row_expo[kappa]))
+
+            if t > lovasz[kappa if self.siegel else kappa - 1]:
+                self.n_swaps += 1
+                # insertion index scan (lll.cpp:128-141)
+                old_k = kappa
+                kappa -= 1
+                while kappa > kappa_min:
+                    with ctx.guard():
+                        rkk, _ = m.get_r_exp(kappa - 1, kappa - 1)
+                        t = rkk * ctx.scalar(self.swap_threshold)
+                        if m.enable_row_expo:
+                            t = ctx.ldexp(t, 2 * int(m.row_expo[kappa - 1] -
+                                                     m.row_expo[old_k]))
+                    if t < lovasz[kappa if self.siegel else kappa - 1]:
+                        break
+                    kappa -= 1
+                if lovasz[kappa] > 0:
+                    m.move_row(old_k, kappa)
+                else:
+                    self.zeros += 1
+                    m.move_row(old_k, kappa_end - self.zeros)
+                    kappa = old_k
+                    continue
+
+            m.set_r(kappa, kappa, lovasz[kappa])
+            kappa += 1
+
+        if m.enable_int_gram:
+            m.symmetrize_g()
+        if kappa < kappa_end - self.zeros:
+            return self.set_status(RED_LLL_FAILURE)
+        return self.set_status(RED_SUCCESS)
+
+    # -- lazy Babai size reduction (lll.cpp:166-224) --------------------------
+    def babai(self, kappa: int, size_reduction_end: int,
+              size_reduction_start: int = 0) -> bool:
+        m, ctx = self.m, self.ctx
+        max_expo = None
+        it = 0
+        while True:
+            if not m.update_gso_row(kappa, size_reduction_end - 1):
+                return self.set_status(RED_GSO_FAILURE)
+
+            loop_needed = False
+            for j in range(size_reduction_end - 1, size_reduction_start - 1, -1):
+                v = m.get_mu(kappa, j)
+                if not ctx.is_finite(v):
+                    loop_needed = True
+                    break
+                if abs(ctx.to_float(v)) > self.eta or \
+                        (ctx.to_float(v) != ctx.to_float(v)):
+                    loop_needed = True
+                    break
+            if not loop_needed:
+                break
+
+            # divergence detection by exponent non-decrease (lll.cpp:187-195)
+            if it >= 2:
+                new_max_expo = m.get_max_mu_exp(kappa, size_reduction_end)
+                if max_expo is not None and \
+                        new_max_expo > max_expo - SIZE_RED_FAILURE_THRESH:
+                    return self.set_status(RED_BABAI_FAILURE)
+                max_expo = new_max_expo
+            it += 1
+
+            babai_mu = [None] * size_reduction_end
+            babai_expo = [0] * size_reduction_end
+            for j in range(size_reduction_start, size_reduction_end):
+                babai_mu[j], babai_expo[j] = m.get_mu_exp(kappa, j)
+
+            m.row_op_begin(kappa, kappa + 1)
+            with ctx.guard():
+                for j in range(size_reduction_end - 1, size_reduction_start - 1, -1):
+                    # round the scaled mu so mu_rnd * 2^expo is an exact int
+                    mu_rnd = self._rnd_we(babai_mu[j], babai_expo[j])
+                    if mu_rnd == 0:
+                        continue
+                    for k in range(size_reduction_start, j):
+                        mjk, _ = m.get_mu_exp(j, k)
+                        babai_mu[k] = babai_mu[k] - mu_rnd * mjk
+                    m.row_addmul_we(kappa, j, -mu_rnd, babai_expo[j])
+            m.row_op_end(kappa, kappa + 1)
+        return True
+
+    def _rnd_we(self, v, expo: int):
+        """FP_NR::rnd_we: round v*2^expo to an integer, result scaled back
+        (nr_FP_d.inl:226-233)."""
+        ctx = self.ctx
+        if v == 0:
+            return ctx.scalar(0)
+        if ctx.exponent(v) + expo >= ctx.prec:
+            return v
+        return ctx.ldexp(ctx.rnd(ctx.ldexp(v, expo)), -expo)
+
+    def size_reduction(self, kappa_min: int = 0, kappa_end: int = -1,
+                       size_reduction_start: int = 0) -> bool:
+        if kappa_end == -1:
+            kappa_end = self.m.d
+        for k in range(kappa_min, kappa_end):
+            if (k > 0 and not self.babai(k, k, size_reduction_start)) or \
+                    not self.m.update_gso_row(k):
+                return False
+        return self.set_status(RED_SUCCESS)
+
+    def early_reduction(self, start: int, size_reduction_start: int = 0) -> bool:
+        self.m.lock_cols()
+        if self.verbose:
+            print(f"Early reduction start={start + 1}", file=sys.stderr)
+        for i in range(start, self.m.d):
+            if not self.babai(i, start, size_reduction_start):
+                return False
+        self.m.unlock_cols()
+        self.last_early_red = start
+        return True
+
+    def set_status(self, new_status: int) -> bool:
+        self.status = new_status
+        if self.verbose:
+            if new_status == RED_SUCCESS:
+                print("End of LLL: success", file=sys.stderr)
+            else:
+                print(f"End of LLL: failure: {get_red_status_str(new_status)}",
+                      file=sys.stderr)
+        return new_status == RED_SUCCESS
+
+
+def is_lll_reduced(m: MatGSOInterface, delta: float, eta: float) -> bool:
+    """Verifier (lll.cpp:226-258): |mu| <= eta and the Lovasz condition
+    r_ii >= (delta - mu^2) r_(i-1)(i-1)."""
+    ctx = m.ctx
+    if not m.update_gso():
+        return False
+    with ctx.guard():
+        for i in range(m.d):
+            for j in range(i):
+                if abs(ctx.to_float(m.get_mu(i, j))) > eta:
+                    return False
+        for i in range(1, m.d):
+            mu = m.get_mu(i, i - 1)
+            lhs = m.get_r(i, i)
+            rhs = (ctx.scalar(delta) - mu * mu) * m.get_r(i - 1, i - 1)
+            if lhs < rhs:
+                return False
+    return True
