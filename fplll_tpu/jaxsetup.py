@@ -1,0 +1,27 @@
+"""Central JAX import + configuration.
+
+Lattice reduction needs f64 tree arithmetic (the reference's enumf is
+double, nr/nr.h:41), so x64 is enabled globally before any kernel is
+traced. Device modules import jax/jnp from here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: enumeration kernels are traced once per
+# (levels-bucket, mode) and reused across processes
+_cache_dir = os.environ.get("FPLLL_TPU_JAX_CACHE",
+                            os.path.expanduser("~/.cache/fplll_tpu_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp  # noqa: E402
+
+__all__ = ["jax", "jnp"]
