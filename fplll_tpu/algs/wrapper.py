@@ -190,6 +190,132 @@ class Wrapper:
         return kappa == 0
 
 
+class HLLLWrapper:
+    """HLLL precision ladder: fast f64 -> dd-role -> proved loop
+    (wrapper.cpp:478-529)."""
+
+    def __init__(self, b: IntMat, u: Optional[IntMat] = None,
+                 u_inv: Optional[IntMat] = None, delta: float = LLL_DEF_DELTA,
+                 eta: float = LLL_DEF_ETA, theta: float = 0.001,
+                 c: float = 0.1, flags: int = 0):
+        from ..nr.fctx import hlll_min_prec
+        self.b, self.u, self.u_inv = b, u, u_inv
+        self.delta, self.eta, self.theta, self.c = delta, eta, theta, c
+        self.flags = flags
+        self.status = RED_SUCCESS
+        self.good_prec = hlll_min_prec(b.nrows, b.ncols, delta, eta, theta, c)
+
+    def _call_hlll(self, method: LLLMethod, ctx, precision: int) -> bool:
+        from ..defs import (HOUSEHOLDER_DEFAULT, HOUSEHOLDER_OP_FORCE_LONG,
+                            HOUSEHOLDER_ROW_EXPO)
+        from ..core.householder import MatHouseholder
+        from .hlll import HLLLReduction
+        hflags = HOUSEHOLDER_DEFAULT
+        if method == LM_FAST:
+            hflags |= HOUSEHOLDER_ROW_EXPO | HOUSEHOLDER_OP_FORCE_LONG
+        m = MatHouseholder(self.b, self.u, self.u_inv, flags=hflags, ctx=ctx)
+        h = HLLLReduction(m, self.delta, self.eta, self.theta, self.c,
+                          self.flags)
+        ok = h.hlll()
+        self.status = h.get_status()
+        return ok
+
+    def increase_prec(self, precision: int) -> int:
+        return min(precision * 2, self.good_prec)
+
+    def hlll_proved_loop(self, precision: int) -> bool:
+        while True:
+            if self._call_hlll(LM_PROVED, MPCtx(precision, FT_MPFR), precision):
+                return True
+            if precision >= self.good_prec:
+                return False
+            precision = self.increase_prec(precision)
+
+    def last_hlll(self) -> bool:
+        if self.good_prec <= PREC_DOUBLE:
+            ctx = MPCtx(PREC_DOUBLE, FT_DPE)
+        elif self.good_prec <= PREC_DD:
+            ctx = MPCtx(PREC_DD, FT_DD)
+        else:
+            ctx = MPCtx(self.good_prec, FT_MPFR)
+        return self._call_hlll(LM_PROVED, ctx, self.good_prec)
+
+    def hlll(self) -> bool:
+        if self.b.nrows == 0 or self.b.ncols == 0:
+            return True
+        complete = self._call_hlll(LM_FAST, F64Ctx(), 0)
+        last_prec = PREC_DOUBLE
+        if not complete:
+            complete = self._call_hlll(LM_FAST, MPCtx(PREC_DD, FT_DD), 0)
+            last_prec = PREC_DD
+        if not complete:
+            complete = self.hlll_proved_loop(last_prec)
+        return self.last_hlll()
+
+
+def hlll_reduction(b: IntMat, u: Optional[IntMat] = None,
+                   u_inv: Optional[IntMat] = None,
+                   delta: float = LLL_DEF_DELTA, eta: float = LLL_DEF_ETA,
+                   theta: float = 0.001, c: float = 0.1,
+                   method: LLLMethod = LM_WRAPPER,
+                   float_type: FloatType = FT_DEFAULT, precision: int = 0,
+                   flags: int = 0, nolll: bool = False) -> int:
+    """Flat HLLL API (wrapper.cpp:790-1005 hlll_reduction_z). With
+    nolll=True only verifies reducedness (the fplll -a hlll -nolll path,
+    wrapper.cpp:828-862)."""
+    from ..defs import (HOUSEHOLDER_DEFAULT, HOUSEHOLDER_ROW_EXPO,
+                        RED_HLLL_FAILURE)
+    from ..core.householder import MatHouseholder
+    from .hlll import HLLLReduction, is_hlll_reduced
+    from ..nr.fctx import hlll_min_prec
+
+    if b.nrows == 0 or b.ncols == 0:
+        return RED_SUCCESS
+
+    if nolll:
+        ctx = get_ctx(float_type if float_type != FT_DEFAULT else FT_MPFR,
+                      precision if precision else
+                      hlll_min_prec(b.nrows, b.ncols, delta, eta, theta, c))
+        m = MatHouseholder(b, None, None,
+                           flags=HOUSEHOLDER_DEFAULT | HOUSEHOLDER_ROW_EXPO,
+                           ctx=ctx)
+        return is_hlll_reduced(m, delta, eta, theta)
+
+    if method == LM_WRAPPER:
+        if float_type != FT_DEFAULT:
+            raise ValueError("wrapper method does not take a float type")
+        w = HLLLWrapper(b, u, u_inv, delta, eta, theta, c, flags)
+        w.hlll()
+        zeros_first(b, u, u_inv)
+        return w.status
+
+    good_prec = hlll_min_prec(b.nrows, b.ncols, delta, eta, theta, c)
+    sel_prec = precision if precision else \
+        (good_prec if method == LM_PROVED else PREC_DOUBLE)
+    sel_ft = float_type
+    if sel_ft == FT_DEFAULT:
+        if method == LM_FAST:
+            sel_ft = FT_DOUBLE
+        elif sel_prec <= PREC_DOUBLE:
+            sel_ft = FT_DPE
+        elif sel_prec <= PREC_DD:
+            sel_ft = FT_DD
+        elif sel_prec <= PREC_QD:
+            sel_ft = FT_QD
+        else:
+            sel_ft = FT_MPFR
+    ctx = get_ctx(sel_ft, sel_prec)
+    from ..defs import (HOUSEHOLDER_OP_FORCE_LONG)
+    hflags = 0
+    if method == LM_FAST:
+        hflags |= HOUSEHOLDER_ROW_EXPO | HOUSEHOLDER_OP_FORCE_LONG
+    m = MatHouseholder(b, u, u_inv, flags=hflags, ctx=ctx)
+    h = HLLLReduction(m, delta, eta, theta, c, flags)
+    h.hlll()
+    zeros_first(b, u, u_inv)
+    return h.get_status()
+
+
 def lll_reduction(b: IntMat, u: Optional[IntMat] = None,
                   u_inv: Optional[IntMat] = None, delta: float = LLL_DEF_DELTA,
                   eta: float = LLL_DEF_ETA,

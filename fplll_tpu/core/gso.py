@@ -132,7 +132,12 @@ class MatGSOInterface:
                     t = t - self.ctx.dot(self.mu[j, :j], self.r[i, :j])
                 self.r[i, j] = t
                 if i > j:
-                    m = t / self.r[j, j]
+                    try:
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            m = t / self.r[j, j]
+                    except ZeroDivisionError:
+                        # soft-float 0/0: the mpfr backend would yield NaN
+                        return False
                     self.mu[i, j] = m
                     if not self.ctx.is_finite(m):
                         return False

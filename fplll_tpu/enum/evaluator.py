@@ -194,8 +194,8 @@ class ErrorBoundedEvaluator(Evaluator):
     def eval_sol(self, new_sol_coord, new_partial_dist, max_dist):
         self.last_partial_dist = new_partial_dist
         exact = self.exact_norm_sq(new_sol_coord)
-        if exact == 0:
-            return max_dist
+        if exact == 0 and self.target is None:
+            return max_dist  # SVP: the zero vector is not a solution
         if self.eval_mode == EVALMODE_COUNT:
             self.sol_count += 1
             return max_dist

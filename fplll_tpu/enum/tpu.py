@@ -173,7 +173,7 @@ class TPUEnumerator:
     refills subtree roots, merges lane solutions into the evaluator."""
 
     def __init__(self, batch: int = 1024, max_device_levels: int = 64,
-                 target_root_factor: int = 8, steps_per_launch: int = 200000,
+                 target_root_factor: int = 32, steps_per_launch: int = 50000,
                  dive_nodes: int = 2000):
         self.batch = batch
         self.max_device_levels = max_device_levels
@@ -191,17 +191,14 @@ class TPUEnumerator:
         column j holds the coordinate of level m+j. Top-level node counts
         are accumulated into self.nodes."""
         target = self.target_root_factor * self.batch
-        # device tree heights are bucketed so the jitted kernel is traced
-        # once per bucket, not once per problem size
-        buckets = {8, 16, 24, 32, 40, 48, 56, 64}
         xs = np.zeros((1, 0))
         pd = np.zeros(1)
         zero_prefix = np.array([is_svp])
         lvl = d - 1
         while lvl >= 1:
             m_cand = lvl + 1
-            if m_cand <= self.max_device_levels and m_cand in buckets and \
-                    (xs.shape[0] >= target or m_cand == min(buckets)):
+            if m_cand <= self.max_device_levels and \
+                    (xs.shape[0] >= target or m_cand <= 2):
                 break
             c = cp0[lvl] - (xs @ mut[lvl, lvl + 1:d] if xs.shape[1] else 0.0)
             c = np.asarray(c, dtype=np.float64) + np.zeros(xs.shape[0])
@@ -245,17 +242,29 @@ class TPUEnumerator:
         self.nodes = np.zeros(d, dtype=np.int64)
         A = float(maxdist)
 
-        roots_x, roots_pd, m = self._gen_roots(mut, rdiag, prune, cp0, A, d,
-                                               is_svp)
-        # top-of-tree nodes are counted as one per root per fixed level
+        roots_x, roots_pd, m_real = self._gen_roots(mut, rdiag, prune, cp0, A,
+                                                    d, is_svp)
         order = np.argsort(roots_pd)
         roots_x, roots_pd = roots_x[order], roots_pd[order]
         B = self.batch
-        nfix = d - m
+        nfix = d - m_real
 
-        mut_dev = jnp.asarray(mut[:m, :m])
-        rdiag_dev = jnp.asarray(rdiag[:m])
-        prune_dev = jnp.asarray(prune[:m])
+        # pad the device tree height up to a bucket so the jitted kernel is
+        # traced once per bucket: virtual levels admit exactly x=0 (center 0,
+        # huge rdiag kills any sibling immediately)
+        m = min(((m_real + 7) // 8) * 8, self.max_device_levels)
+        mut_pad = np.zeros((m, m))
+        mut_pad[:m_real, :m_real] = mut[:m_real, :m_real]
+        rdiag_pad = np.full(m, 1e300)
+        rdiag_pad[:m_real] = rdiag[:m_real]
+        prune_pad = np.ones(m)
+        prune_pad[:m_real] = prune[:m_real]
+        cp0_pad = np.zeros(m)
+        cp0_pad[:m_real] = cp0[:m_real]
+
+        mut_dev = jnp.asarray(mut_pad)
+        rdiag_dev = jnp.asarray(rdiag_pad)
+        prune_dev = jnp.asarray(prune_pad)
 
         best_overall: List[Tuple[float, np.ndarray]] = []
         total_sols = 0
@@ -264,10 +273,12 @@ class TPUEnumerator:
         def make_state(xs_batch, pd_batch, live):
             """Initialize lanes from roots (the prepare_enumeration step)."""
             R = xs_batch.shape[0]
-            # root coord x_j (level j >= m) shifts the center at level i by
-            # x_j * mut[i][j] (upper triangle of mu^T)
-            cs = cp0[:m][None, :] - (xs_batch @ mut[:m, m:].T if nfix else 0.0)
-            cs = np.broadcast_to(cs, (R, m)).copy()
+            # root coord x_j (level j >= m_real) shifts the center at level
+            # i < m_real by x_j * mut[i][j] (upper triangle of mu^T);
+            # virtual levels [m_real, m) keep center 0
+            cs = np.zeros((R, m))
+            cs[:, :m_real] = cp0[:m_real][None, :] - \
+                (xs_batch @ mut[:m_real, m_real:d].T if nfix else 0.0)
             x = np.zeros((R, m))
             center = np.zeros((R, m))
             dxa = np.ones((R, m))
@@ -297,41 +308,110 @@ class TPUEnumerator:
                 "steps": jnp.asarray(0, dtype=jnp.int64),
             }
 
-        while qpos < len(roots_pd):
-            take = min(B, len(roots_pd) - qpos)
-            xs_b = np.zeros((B, nfix))
-            pd_b = np.full(B, np.inf)
-            live = np.zeros(B, dtype=bool)
-            sel = slice(qpos, qpos + take)
-            alive = roots_pd[sel] <= A * prune[m - 1 if m < d else d - 1] + 0.0
-            xs_b[:take] = roots_x[sel]
-            pd_b[:take] = roots_pd[sel]
-            live[:take] = alive
-            qpos += take
-            if not live.any():
-                continue
-            pd_b[~live] = 0.0
+        # lanes are refilled from the root queue after every launch so a
+        # few giant subtrees do not leave the rest of the batch idle (the
+        # work-queue role of enumlib's swirlys, enumeration.h:412-505)
+        R_total = len(roots_pd)
+        lane_roots = np.zeros((B, nfix))
+        state_np = None
 
-            state = make_state(xs_b, pd_b, live)
-            while True:
-                state = _enum_steps(mut_dev, rdiag_dev, prune_dev, state,
-                                    m=m, is_svp=bool(is_svp),
-                                    count_mode=bool(count_mode),
-                                    max_steps=self.steps_per_launch)
-                if not bool(jnp.any(state["active"])):
-                    break
-                # long-running batch: keep going (A already shared in-kernel)
-            self.nodes[:m] += np.asarray(state["nodes"])
-            total_sols += int(jnp.sum(state["sol_count"]))
-            bd = np.asarray(state["best_dist"])
-            bx = np.asarray(state["best_x"])
-            found = np.isfinite(bd)
-            for i in np.where(found)[0]:
-                # full coordinate vector = device levels + this lane's root
-                full = np.concatenate([bx[i], xs_b[i]])
+        def harvest(bd, bx, roots_of_lane, mask):
+            nonlocal A, total_sols
+            for i in np.where(mask)[0]:
+                full = np.concatenate([bx[i][:m_real], roots_of_lane[i]])
                 best_overall.append((float(bd[i]), full))
-            if not count_mode and found.any():
-                A = min(A, float(bd[found].min()))
+            if not count_mode and mask.any():
+                A = min(A, float(bd[mask].min()))
+
+        def fresh_rows(count):
+            """Pop up to `count` still-live roots from the queue."""
+            nonlocal qpos
+            while qpos < R_total:
+                # roots are sorted by pd, so the first dead root ends the queue
+                chunk = slice(qpos, min(qpos + max(count, 1), R_total))
+                live = roots_pd[chunk] <= A
+                if not live.any():
+                    qpos = R_total
+                    break
+                n_take = int(live.sum())
+                xs_sel = roots_x[chunk][live][:count]
+                pd_sel = roots_pd[chunk][live][:count]
+                qpos += int(np.asarray(live).size)
+                return xs_sel.reshape(len(pd_sel), nfix), pd_sel
+            return np.zeros((0, nfix)), np.zeros(0)
+
+        while True:
+            if state_np is None:
+                xs_f, pd_f = fresh_rows(B)
+                nf = len(pd_f)
+                if nf == 0:
+                    break
+                xs_b = np.zeros((B, nfix))
+                pd_b = np.zeros(B)
+                live = np.zeros(B, dtype=bool)
+                xs_b[:nf] = xs_f
+                pd_b[:nf] = pd_f
+                live[:nf] = True
+                lane_roots = xs_b
+                state = make_state(xs_b, pd_b, live)
+            else:
+                # compact live lanes, harvest + replace finished ones
+                active = state_np["active"]
+                n_active = int(active.sum())
+                done = ~active
+                harvest(state_np["best_dist"], state_np["best_x"], lane_roots,
+                        done & np.isfinite(state_np["best_dist"]))
+                if n_active == 0 and qpos >= R_total:
+                    break
+                xs_f, pd_f = fresh_rows(B - n_active)
+                nf = len(pd_f)
+                if n_active == 0 and nf == 0:
+                    break
+                if nf:
+                    fresh = make_state(xs_f, pd_f, np.ones(nf, dtype=bool))
+                    slots = np.where(done)[0][:nf]
+                    for key in ("x", "dx", "ddx", "center", "partdist", "cs",
+                                "best_x"):
+                        state_np[key][slots] = np.asarray(fresh[key])[:nf]
+                    state_np["k"][slots] = np.asarray(fresh["k"])[:nf]
+                    state_np["active"][slots] = True
+                    state_np["best_dist"][slots] = np.inf
+                    state_np["sol_count"][slots] = 0
+                    lane_roots[slots] = xs_f
+                    # deactivate remaining finished lanes for clarity
+                    state = {k: jnp.asarray(v) for k, v in state_np.items()
+                             if k not in ("A", "steps", "nodes")}
+                    state["A"] = jnp.asarray(min(A, float(state_np["A"])),
+                                             dtype=jnp.float64)
+                    state["nodes"] = jnp.asarray(state_np["nodes"])
+                    state["steps"] = jnp.asarray(0, dtype=jnp.int64)
+                else:
+                    state = {k: (jnp.asarray(v) if k != "steps" else
+                                 jnp.asarray(0, dtype=jnp.int64))
+                             for k, v in state_np.items()}
+                    state["A"] = jnp.asarray(min(A, float(state_np["A"])),
+                                             dtype=jnp.float64)
+
+            state["steps"] = jnp.asarray(0, dtype=jnp.int64)
+            state = _enum_steps(mut_dev, rdiag_dev, prune_dev, state,
+                                m=m, is_svp=bool(is_svp),
+                                count_mode=bool(count_mode),
+                                max_steps=self.steps_per_launch)
+            state_np = {k: np.array(v) for k, v in state.items()}
+            self.nodes[:m] += state_np["nodes"]
+            state_np["nodes"][:] = 0
+            total_sols += int(state_np["sol_count"].sum())
+            state_np["sol_count"][:] = 0
+            # harvest improving solutions from still-active lanes too, so A
+            # propagates across batches through harvest()
+            liveband = np.isfinite(state_np["best_dist"])
+            if liveband.any() and not count_mode:
+                A = min(A, float(state_np["best_dist"][liveband].min()))
+
+        # final harvest
+        if state_np is not None:
+            harvest(state_np["best_dist"], state_np["best_x"], lane_roots,
+                    np.isfinite(state_np["best_dist"]))
 
         # merge solutions into the evaluator (shortest first)
         best_overall.sort(key=lambda t: t[0])
@@ -387,12 +467,34 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
                                    node_budget=20000)
             maxdist = math.ldexp(newmax, fmaxdistexpo - normexp)
 
-    enum = TPUEnumerator()
     prune = np.asarray(pruning, dtype=np.float64) if len(pruning) else None
-    new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, maxdist,
-                                        is_svp, evaluator,
-                                        count_mode=count_mode)
-    return math.ldexp(new_maxdist, normexp - fmaxdistexpo), nodes
+
+    # Gaussian-heuristic iterative deepening: when the caller's bound is far
+    # beyond the expected solution distance (standalone CVP bounds of
+    # sum r_ii), search a GH-sized ball first and grow on failure. Retrying
+    # up to the original bound preserves completeness.
+    gh2 = math.exp(float(np.mean(np.log(rdiag))) -
+                   2.0 * (d / 2.0 * math.log(math.pi) -
+                          math.lgamma(d / 2.0 + 1.0)) / d)
+    trial = maxdist
+    if not count_mode and maxdist > 4.0 * gh2:
+        # start far below GH and quadruple: failed small passes are cheap,
+        # and the first successful pass has a near-tight radius
+        trial = min(gh2 / 1024.0, maxdist)
+    total_nodes = np.zeros(d, dtype=np.int64)
+    while True:
+        enum = TPUEnumerator()
+        new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,
+                                            is_svp, evaluator,
+                                            count_mode=count_mode)
+        total_nodes[:len(nodes)] += nodes
+        found = (not evaluator.empty()) and \
+            math.ldexp(evaluator.begin()[0], -normexp) <= trial * 1.0000001
+        if count_mode or found or trial >= maxdist:
+            break
+        trial = min(trial * 1.6, maxdist)
+    return math.ldexp(min(new_maxdist, trial), normexp - fmaxdistexpo), \
+        total_nodes
 
 
 def register_tpu_backend() -> None:

@@ -12,6 +12,12 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# explicit platform override (e.g. FPLLL_TPU_PLATFORM=cpu for the virtual
+# multi-device test mesh); takes precedence over ambient JAX_PLATFORMS
+_platform = os.environ.get("FPLLL_TPU_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
 # persistent compile cache: enumeration kernels are traced once per
 # (levels-bucket, mode) and reused across processes
 _cache_dir = os.environ.get("FPLLL_TPU_JAX_CACHE",

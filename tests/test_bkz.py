@@ -1,0 +1,122 @@
+"""BKZ tests (mirrors /root/reference/tests/test_bkz.cpp: end-to-end
+reduction across variants, strategies with preprocessing + linear
+pruning, dump-gso, linear-dependency edge case)."""
+
+import json
+import os
+
+import pytest
+
+import fplll_tpu as fl
+from fplll_tpu.algs.bkz import bkz_reduction, hkz_reduction
+from fplll_tpu.algs.bkz_param import (BKZParam, PruningParams, Strategy,
+                                      load_strategies_json)
+from fplll_tpu.algs.lll import is_lll_reduced
+from fplll_tpu.core.gso import MatGSO
+from fplll_tpu.defs import (BKZ_AUTO_ABORT, BKZ_DUMP_GSO, BKZ_GH_BND,
+                            BKZ_MAX_LOOPS, BKZ_SD_VARIANT, BKZ_SLD_RED,
+                            GSO_ROW_EXPO, RED_BKZ_LOOPS_LIMIT, RED_SUCCESS)
+from fplll_tpu.nr.rng import RandGen
+from fplll_tpu.ops import gen
+
+
+def first_norm(b):
+    return b.row_norm_sq(0)
+
+
+def test_bkz_improves_over_lll():
+    RandGen.init_with_seed(42)
+    b = gen.gen_qary_bits(24, 12, 12)
+    from fplll_tpu.algs.wrapper import lll_reduction
+    b_lll = b.copy()
+    lll_reduction(b_lll)
+    st = bkz_reduction(b, 10, flags=BKZ_AUTO_ABORT | BKZ_GH_BND)
+    assert st == RED_SUCCESS
+    assert first_norm(b) <= first_norm(b_lll)
+    m = MatGSO(b, flags=GSO_ROW_EXPO)
+    assert is_lll_reduced(m, 0.98, 0.52)
+
+
+def test_bkz_max_loops_status():
+    RandGen.init_with_seed(43)
+    b = gen.gen_uniform(18, 12)
+    param = BKZParam(6, None, flags=BKZ_MAX_LOOPS, max_loops=1)
+    st = bkz_reduction(b, param)
+    assert st in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
+
+
+def test_hkz():
+    RandGen.init_with_seed(44)
+    b = gen.gen_uniform(10, 10)
+    assert hkz_reduction(b) == RED_SUCCESS
+    # first vector must be the shortest: check against SVP
+    from fplll_tpu.algs.svpcvp import shortest_vector
+    b2 = b.copy()
+    st, sol = shortest_vector(b2)
+    assert st == RED_SUCCESS
+    nrm = sum(int(round(c)) ** 2 for c in [0])  # placeholder no-op
+    v = [sum(int(round(c)) * int(b2.a[i, j]) for i, c in enumerate(sol))
+         for j in range(b2.ncols)]
+    assert first_norm(b) <= sum(x * x for x in v) * 1.0001
+
+
+@pytest.mark.parametrize("variant", [BKZ_SD_VARIANT, BKZ_SLD_RED])
+def test_bkz_variants(variant):
+    RandGen.init_with_seed(45)
+    b = gen.gen_uniform(16, 12)
+    param = BKZParam(6, None, flags=variant | BKZ_MAX_LOOPS, max_loops=2)
+    st = bkz_reduction(b, param)
+    assert st in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
+    m = MatGSO(b, flags=GSO_ROW_EXPO)
+    assert is_lll_reduced(m, 0.98, 0.52)
+
+
+def test_strategies_with_preprocessing_and_pruning():
+    """Programmatic strategies (test_bkz.cpp:322-389 analogue)."""
+    block = 8
+    strategies = [Strategy.EmptyStrategy(b) for b in range(block + 1)]
+    strategies[block] = Strategy(
+        block_size=block,
+        pruning_parameters=[PruningParams.LinearPruningParams(block, 3)],
+        preprocessing_block_sizes=[4])
+    RandGen.init_with_seed(46)
+    b = gen.gen_uniform(16, 12)
+    param = BKZParam(block, strategies, flags=BKZ_AUTO_ABORT)
+    st = bkz_reduction(b, param)
+    assert st == RED_SUCCESS
+
+
+def test_strategies_json_roundtrip(tmp_path):
+    data = [
+        {"block_size": 6,
+         "preprocessing_block_sizes": [],
+         "pruning_parameters": [[1.0, [1.0, 1.0, 0.9, 0.9, 0.8, 0.8], 0.7]]},
+    ]
+    p = tmp_path / "strat.json"
+    p.write_text(json.dumps(data))
+    strategies = load_strategies_json(str(p))
+    assert len(strategies) == 7
+    assert strategies[6].pruning_parameters[0].coefficients[2] == 0.9
+    assert strategies[6].pruning_parameters[0].expectation == 0.7
+    # earlier block sizes get default parameters
+    assert strategies[3].pruning_parameters
+
+
+def test_dump_gso(tmp_path):
+    RandGen.init_with_seed(47)
+    b = gen.gen_uniform(12, 10)
+    param = BKZParam(4, None, flags=BKZ_DUMP_GSO | BKZ_MAX_LOOPS, max_loops=1)
+    param.dump_gso_filename = str(tmp_path / "gso.json")
+    bkz_reduction(b, param)
+    data = json.loads(open(param.dump_gso_filename).read())
+    assert data[0]["step"] == "Input"
+    assert len(data[0]["norms"]) == 12
+    assert data[-1]["step"] == "Output"
+
+
+def test_linear_dependency_edge_case():
+    """BKZ on a basis with linear dependencies (test_bkz.cpp:380-389)."""
+    rows = [[1, 2, 3, 4], [2, 4, 6, 8], [3, 5, 7, 9], [1, 1, 1, 1]]
+    b = fl.IntMat.from_rows(rows)
+    st = bkz_reduction(b, 3, flags=BKZ_AUTO_ABORT)
+    assert st == RED_SUCCESS

