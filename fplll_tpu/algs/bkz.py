@@ -417,6 +417,13 @@ class BKZReduction:
             else:
                 clean = self.tour(i, kappa_max, param, 0, self.num_rows)
             i += 1
+            ckpt = getattr(param, "checkpoint_file", None)
+            if ckpt and hasattr(self.m, "b"):
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(ckpt, self.m.b, getattr(self.m, "u", None),
+                                {"loop": i, "nodes": self.nodes,
+                                 "algorithm": self.algorithm,
+                                 "elapsed": time.time() - self.cputime_start})
             if clean or param.block_size >= self.num_rows:
                 break
 

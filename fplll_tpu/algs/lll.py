@@ -44,6 +44,8 @@ class LLLReduction:
         self.last_early_red = 0
         self.zeros = 0
         self.n_swaps = 0
+        from ..nr.fctx import F64Ctx
+        self._fast = isinstance(self.ctx, F64Ctx)
 
     # -- main loop (lll.cpp:44-163) -----------------------------------------
     def lll(self, kappa_min: int = 0, kappa_start: int = 0, kappa_end: int = -1,
@@ -99,11 +101,20 @@ class LLLReduction:
             # Lovasz tests: lovasz[i] = ||pi_i(b_kappa)||^2 prefix chain
             # (lll.cpp:109-125)
             with ctx.guard():
-                lovasz[0] = m.get_gram(kappa, kappa)
-                for i in range(1, kappa + 1):
-                    mu_v, _ = m.get_mu_exp(kappa, i - 1)
-                    r_v, _ = m.get_r_exp(kappa, i - 1)
-                    lovasz[i] = lovasz[i - 1] - mu_v * r_v
+                if self._fast:
+                    import numpy as np
+                    g0 = m.get_gram(kappa, kappa)
+                    prods = m.mu[kappa, :kappa] * m.r[kappa, :kappa]
+                    lv = np.empty(kappa + 1)
+                    lv[0] = g0
+                    np.subtract(g0, np.cumsum(prods), out=lv[1:])
+                    lovasz[:kappa + 1] = list(lv)
+                else:
+                    lovasz[0] = m.get_gram(kappa, kappa)
+                    for i in range(1, kappa + 1):
+                        mu_v, _ = m.get_mu_exp(kappa, i - 1)
+                        r_v, _ = m.get_r_exp(kappa, i - 1)
+                        lovasz[i] = lovasz[i - 1] - mu_v * r_v
                 rkk, _ = m.get_r_exp(kappa - 1, kappa - 1)
                 t = rkk * ctx.scalar(self.swap_threshold)
                 if m.enable_row_expo:
@@ -142,9 +153,65 @@ class LLLReduction:
         return self.set_status(RED_SUCCESS)
 
     # -- lazy Babai size reduction (lll.cpp:166-224) --------------------------
+    def _babai_f64(self, kappa: int, size_reduction_end: int,
+                   size_reduction_start: int) -> bool:
+        """Vectorized f64 fast path of the lazy size reduction."""
+        import numpy as np
+        from ..nr.fctx import round_mul_2exp
+        m = self.m
+        end, start = size_reduction_end, size_reduction_start
+        max_expo = None
+        it = 0
+        expo_diff = (m.row_expo[kappa] - m.row_expo[:end]).astype(np.int64) \
+            if m.enable_row_expo else np.zeros(end, dtype=np.int64)
+        while True:
+            if not m.update_gso_row(kappa, end - 1):
+                return self.set_status(RED_GSO_FAILURE)
+            mu_row = m.mu[kappa, :end]
+            with np.errstate(over="ignore", under="ignore", invalid="ignore"):
+                true_abs = np.abs(np.ldexp(mu_row[start:end],
+                                           expo_diff[start:end]))
+            if not (np.isnan(true_abs).any() or (true_abs > self.eta).any()):
+                break
+            if it >= 2:
+                # exponent divergence detection (lll.cpp:187-195)
+                mant, ex = np.frexp(mu_row[:end])
+                ex = np.where(mu_row[:end] == 0.0, 0, ex)
+                new_max_expo = int((ex + expo_diff[:end]).max())
+                if max_expo is not None and \
+                        new_max_expo > max_expo - SIZE_RED_FAILURE_THRESH:
+                    return self.set_status(RED_BABAI_FAILURE)
+                max_expo = new_max_expo
+            it += 1
+            babai_mu = mu_row.copy()
+            m.row_op_begin(kappa, kappa + 1)
+            for j in range(end - 1, start - 1, -1):
+                v = babai_mu[j]
+                e = int(expo_diff[j])
+                # rnd_we: round v*2^e to an integer, keep stored scale
+                if v == 0.0:
+                    continue
+                fm, fe = math.frexp(v)
+                if fe + e >= 53:
+                    mu_rnd = v
+                else:
+                    mu_rnd = math.ldexp(round(math.ldexp(v, e)), -e)
+                if mu_rnd == 0.0:
+                    continue
+                if j > start:
+                    babai_mu[start:j] -= mu_rnd * m.mu[j, start:j]
+                m.row_addmul_we(kappa, j, -mu_rnd, e)
+            m.row_op_end(kappa, kappa + 1)
+            if m.enable_row_expo:
+                expo_diff = (m.row_expo[kappa] - m.row_expo[:end]).astype(np.int64)
+        return True
+
     def babai(self, kappa: int, size_reduction_end: int,
               size_reduction_start: int = 0) -> bool:
         m, ctx = self.m, self.ctx
+        if self._fast:
+            return self._babai_f64(kappa, size_reduction_end,
+                                   size_reduction_start)
         max_expo = None
         it = 0
         while True:

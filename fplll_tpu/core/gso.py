@@ -25,6 +25,7 @@ import math
 from typing import List, Optional, Tuple
 
 import numpy as np
+from scipy.linalg import solve_triangular
 
 from ..defs import GSO_DEFAULT, GSO_INT_GRAM, GSO_OP_FORCE_LONG, GSO_ROW_EXPO
 from ..nr.fctx import F64Ctx, int_to_f_exp, round_mul_2exp
@@ -116,6 +117,55 @@ class MatGSOInterface:
         pass
 
     # -- the core recurrence ------------------------------------------------
+    def get_gram_row(self, i: int, last_j: int):
+        """All <b_i, b_j> for j <= last_j (vectorized where possible)."""
+        return np.array([self.get_gram(i, j) for j in range(last_j + 1)],
+                        dtype=self.ctx.dtype)
+
+    def _update_gso_row_f64(self, i: int, last_j: int) -> bool:
+        """Vectorized f64 fast path of the CGS recurrence.
+
+        The column recurrence r(i,j) = g(i,j) - sum_{k<j} mu(j,k) r(i,k)
+        is a unit-lower-triangular solve L r_i = g_i with L = I + strict
+        lower mu — one BLAS call instead of a scalar loop (the panel/
+        blocked re-expression promised in SURVEY §7).
+        """
+        j0 = max(0, self.gso_valid_cols[i])
+        g_row = self.get_gram_row(i, last_j)
+        mu_i = self.mu[i]
+        r_i = self.r[i]
+        n = last_j + 1
+        ns = min(n, i)  # rows of L above i are the valid mu rows
+        if ns - j0 > 12 and j0 == 0:
+            with np.errstate(all="ignore"):
+                sol = solve_triangular(self.mu[:ns, :ns], g_row[:ns],
+                                       lower=True, unit_diagonal=True,
+                                       check_finite=False)
+                r_i[:ns] = sol
+                mu_i[:ns] = sol / np.diagonal(self.r)[:ns]
+            if not np.isfinite(mu_i[:ns]).all():
+                return False
+            if last_j >= i:
+                r_i[i] = g_row[i] - float(np.dot(mu_i[:i], sol[:i]))
+            self.gso_valid_cols[i] = n
+            return True
+        j = j0
+        r = self.r
+        mu = self.mu
+        while j <= last_j:
+            t = g_row[j] - float(np.dot(mu[j, :j], r_i[:j])) if j else g_row[j]
+            r_i[j] = t
+            if i > j:
+                rjj = r[j, j]
+                m = t / rjj if rjj != 0.0 else (math.nan if t == 0.0 else
+                                                math.copysign(math.inf, t))
+                mu_i[j] = m
+                if not math.isfinite(m):
+                    return False
+            j += 1
+        self.gso_valid_cols[i] = j
+        return True
+
     def update_gso_row(self, i: int, last_j: int | None = None) -> bool:
         """One row of classical Gram-Schmidt (gso_interface.cpp:131-164):
         r(i,j) = <b_i,b_j> - sum_k<j mu(j,k) r(i,k);  mu(i,j) = r(i,j)/r(j,j).
@@ -124,6 +174,8 @@ class MatGSOInterface:
             last_j = i
         if i >= self.n_known_rows:
             self.discover_row()
+        if isinstance(self.ctx, F64Ctx):
+            return self._update_gso_row_f64(i, last_j)
         j = max(0, self.gso_valid_cols[i])
         with self.ctx.guard():
             while j <= last_j:
@@ -232,21 +284,29 @@ class MatGSOInterface:
 
     @staticmethod
     def _mat_rotate_right(a: np.ndarray, first: int, last: int) -> None:
-        a[first:last + 1] = np.roll(a[first:last + 1], 1, axis=0)
+        tmp = a[last].copy()
+        a[first + 1:last + 1] = a[first:last]
+        a[first] = tmp
 
     @staticmethod
     def _mat_rotate_left(a: np.ndarray, first: int, last: int) -> None:
-        a[first:last + 1] = np.roll(a[first:last + 1], -1, axis=0)
+        tmp = a[first].copy()
+        a[first:last] = a[first + 1:last + 1]
+        a[last] = tmp
 
     @staticmethod
     def _gram_rotate_right(g: np.ndarray, first: int, last: int) -> None:
         MatGSOInterface._mat_rotate_right(g, first, last)
-        g[:, first:last + 1] = np.roll(g[:, first:last + 1], 1, axis=1)
+        tmp = g[:, last].copy()
+        g[:, first + 1:last + 1] = g[:, first:last]
+        g[:, first] = tmp
 
     @staticmethod
     def _gram_rotate_left(g: np.ndarray, first: int, last: int) -> None:
         MatGSOInterface._mat_rotate_left(g, first, last)
-        g[:, first:last + 1] = np.roll(g[:, first:last + 1], -1, axis=1)
+        tmp = g[:, first].copy()
+        g[:, first:last] = g[:, first + 1:last + 1]
+        g[:, last] = tmp
 
     def lock_cols(self) -> None:
         self.cols_locked = True
@@ -384,7 +444,20 @@ class MatGSO(MatGSOInterface):
     def update_bf(self, i: int) -> None:
         n = max(self.n_known_cols, self.init_row_size[i])
         row = self.b.a[i]
+        fast = isinstance(self.ctx, F64Ctx)
         if self.enable_row_expo:
+            if fast:
+                pairs = [int_to_f_exp(int(row[j])) for j in range(n)]
+                fs = np.fromiter((p[0] for p in pairs), dtype=np.float64,
+                                 count=n)
+                es = np.fromiter((p[1] for p in pairs), dtype=np.int64,
+                                 count=n)
+                max_e = int(es[fs != 0.0].max()) if (fs != 0.0).any() else 0
+                self.row_expo[i] = max_e
+                with np.errstate(under="ignore"):
+                    self.bf[i, :n] = np.ldexp(fs, es - max_e)
+                self.bf[i, n:] = 0.0
+                return
             fs, es = [], []
             max_e = None
             for j in range(n):
@@ -455,6 +528,20 @@ class MatGSO(MatGSOInterface):
             return int(self.g[i, j])
         return self.b.dot_rows(i, j)
 
+    def get_gram_row(self, i: int, last_j: int):
+        if self.enable_int_gram or not isinstance(self.ctx, F64Ctx):
+            return super().get_gram_row(i, last_j)
+        # f64: fill every missing entry of the row with one matmul
+        row = self.gf[i, :last_j + 1]
+        nanmask = np.isnan(row)
+        if nanmask.any():
+            n = self.n_known_cols if not self.cols_locked else self.bf.shape[1]
+            idx = np.where(nanmask)[0]
+            vals = self.bf[idx, :n] @ self.bf[i, :n]
+            self.gf[i, idx] = vals
+            self.gf[idx, i] = vals
+        return self.gf[i, :last_j + 1]
+
     # -- exact row ops -------------------------------------------------------
     def _row_addmul_exact(self, i: int, j: int, x: int) -> None:
         self.b.row_addmul(i, j, x)
@@ -513,7 +600,9 @@ class MatGSO(MatGSOInterface):
             self._gram_rotate_right(self.gf, new_r, old_r)
             self._mat_rotate_right(self.bf, new_r, old_r)
         if self.enable_row_expo:
-            self.row_expo[new_r:old_r + 1] = np.roll(self.row_expo[new_r:old_r + 1], 1)
+            tmp = self.row_expo[old_r]
+            self.row_expo[new_r + 1:old_r + 1] = self.row_expo[new_r:old_r]
+            self.row_expo[new_r] = tmp
 
     def _rotate_state_left(self, old_r: int, new_r: int) -> None:
         self.b.rotate_left(old_r, new_r)
@@ -530,7 +619,9 @@ class MatGSO(MatGSOInterface):
         if not self.enable_int_gram:
             self._mat_rotate_left(self.bf, old_r, new_r)
         if self.enable_row_expo:
-            self.row_expo[old_r:new_r + 1] = np.roll(self.row_expo[old_r:new_r + 1], -1)
+            tmp = self.row_expo[old_r]
+            self.row_expo[old_r:new_r] = self.row_expo[old_r + 1:new_r + 1]
+            self.row_expo[new_r] = tmp
         if new_r >= self.n_known_rows:
             self._pylist_rotate_left(self.init_row_size, old_r, new_r)
             if old_r < self.n_known_rows:

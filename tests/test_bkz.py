@@ -120,3 +120,29 @@ def test_linear_dependency_edge_case():
     b = fl.IntMat.from_rows(rows)
     st = bkz_reduction(b, 3, flags=BKZ_AUTO_ABORT)
     assert st == RED_SUCCESS
+
+
+def test_checkpoint_resume(tmp_path):
+    """BKZ writes per-loop checkpoints; a resumed run picks up the basis."""
+    from fplll_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    RandGen.init_with_seed(50)
+    b = gen.gen_uniform(14, 12)
+    param = BKZParam(5, None, flags=BKZ_MAX_LOOPS, max_loops=2)
+    param.checkpoint_file = str(tmp_path / "bkz.ckpt")
+    bkz_reduction(b, param)
+    b2, u2, meta = load_checkpoint(param.checkpoint_file)
+    assert meta["loop"] >= 1
+    assert b2.nrows == 14
+    # resume: continuing from the checkpointed basis must succeed
+    param2 = BKZParam(5, None, flags=BKZ_MAX_LOOPS, max_loops=1)
+    assert bkz_reduction(b2, param2) in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
+
+
+def test_checkpoint_roundtrip_bigints(tmp_path):
+    from fplll_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    b = fl.IntMat.from_rows([[10 ** 90, -3], [7, 10 ** 80 + 1]])
+    save_checkpoint(str(tmp_path / "c.json"), b, meta={"x": 1})
+    b2, u2, meta = load_checkpoint(str(tmp_path / "c.json"))
+    assert b2 == b and u2 is None and meta == {"x": 1}

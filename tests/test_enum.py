@@ -111,3 +111,25 @@ def test_subtree_enumeration():
     if not ev.empty():
         for dist, sol in ev.solutions:
             assert sol[10] == 0.0 and sol[11] == 0.0
+
+
+@pytest.mark.parametrize("target_offset", [0.0, 0.0001])
+def test_leech_list_cvp_count(lattice_dir, target_offset):
+    """The Leech lattice has 196560 minimal vectors; list-CVP around (near)
+    zero with radius 32.5 must count 196561 including the zero vector
+    (test_enum.cpp:55-120)."""
+    from fplll_tpu.ops.intmat import read_matrix
+
+    b = read_matrix(f"{lattice_dir}/example_list_cvp_in_lattice")
+    assert b.nrows == 24
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    mut, rdiag, normexp = gso.export_mu_r(0, 24)
+    rad = math.ldexp(32.5, -normexp)
+    ev = FastEvaluator(nr_solutions=999999)
+    enum = TPUEnumerator(batch=1024)
+    enum.enumerate(mut, rdiag, None,
+                   np.full(24, target_offset), rad, False, ev,
+                   count_mode=True)
+    assert ev.sol_count == 196561
