@@ -47,125 +47,253 @@ def _cround(x):
     return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
 
 
-@partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps"))
-def _enum_steps(mut, rdiag, prune, state, m: int, is_svp: bool,
-                count_mode: bool, max_steps: int):
-    """Advance all lanes until every lane finishes or max_steps elapse.
 
-    mut: (m, m) upper-triangular mu^T for device levels; rdiag: (m,);
-    prune: (m,) pruning coefficients. state: dict of SoA arrays.
+def _make_step(mut, rdiag, prune, m: int, is_svp: bool, count_mode: bool):
+    """Shared lockstep step function over state arrays of width m.
+
+    TPU-friendly formulation: every per-lane gather/scatter is expressed
+    with one-hot masks and reductions (VPU/MXU lower these well; dynamic
+    gathers do not), and counters are float (int64 is emulated on TPU).
     """
-    mut_t = mut.T  # row gather of column k: mut_t[k] = mut[:, k]
+    dtype = mut.dtype
+    mut_t = mut.T
     cols = jnp.arange(m)
+    pd_cols = jnp.arange(m + 1)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
 
-    def body(st):
+    def step(st):
         x, dx, ddx = st["x"], st["dx"], st["ddx"]
         center, partdist, cs = st["center"], st["partdist"], st["cs"]
-        k, active = st["k"], st["active"]
-        A = st["A"]
+        k, active, A = st["k"], st["active"], st["A"]
         kc = jnp.clip(k, 0, m - 1)
 
-        take = lambda a: jnp.take_along_axis(a, kc[:, None], axis=1)[:, 0]
-        xk = take(x)
-        ck = take(center)
-        pdk = jnp.take_along_axis(partdist, kc[:, None], axis=1)[:, 0]
-        rk = rdiag[kc]
-        prk = prune[kc]
+        oh = (cols[None, :] == kc[:, None])          # (B, m) bool
+        ohf = oh.astype(dtype)
+        oh_pd = (pd_cols[None, :] == kc[:, None]).astype(dtype)
+        xk = jnp.sum(x * ohf, axis=1)
+        ck = jnp.sum(center * ohf, axis=1)
+        pdk = jnp.sum(partdist * oh_pd, axis=1)
+        rk = ohf @ rdiag
+        prk = ohf @ prune
 
         alpha = xk - ck
         newdist = pdk + alpha * alpha * rk
         ok = active & (newdist <= prk * A)
         at_bottom = kc == 0
 
-        nontrivial = (newdist > 0.0) if is_svp else jnp.full_like(ok, True)
+        nontrivial = (newdist > zero) if is_svp else jnp.full_like(ok, True)
         sol_found = ok & at_bottom & nontrivial
-
-        # record the lane-best solution; A shrinks to the global best
         better = sol_found & (newdist < st["best_dist"])
         best_dist = jnp.where(better, newdist, st["best_dist"])
-        best_x = jnp.where(better[:, None], x, st["best_x"])
+        best_dev = jnp.where(better[:, None], x, st["best_dev"])
+        sol_count = st["sol_count"] + sol_found.astype(jnp.float64)
         if count_mode:
-            sol_count = st["sol_count"] + sol_found.astype(jnp.int64)
             A_new = A
         else:
-            sol_count = st["sol_count"] + sol_found.astype(jnp.int64)
             A_new = jnp.minimum(A, jnp.min(jnp.where(sol_found, newdist,
                                                      jnp.inf)))
 
-        # per-level node counter
-        onehot_k = (cols[None, :] == kc[:, None])
-        nodes = st["nodes"] + jnp.sum(onehot_k & ok[:, None], axis=0,
-                                      dtype=jnp.int64)
+        nodes = st["nodes"] + jnp.sum(ohf * ok[:, None].astype(dtype),
+                                       axis=0).astype(jnp.float64)
 
         descend = ok & ~at_bottom
-        # --- descend: commit x[k] into cs for levels < k -------------------
-        mut_col = mut_t[kc]                       # (B, m): mut[j, k] at col j
+        mut_col = ohf @ mut_t                         # row k of mu columns
         below_k = cols[None, :] < kc[:, None]
-        cs = cs - jnp.where((descend[:, None]) & below_k,
-                            xk[:, None] * mut_col, 0.0)
+        cs = cs - jnp.where(descend[:, None] & below_k,
+                            xk[:, None] * mut_col, zero)
         k_down = kc - 1
-        onehot_down = (cols[None, :] == k_down[:, None])
-        c_new = jnp.take_along_axis(cs, jnp.clip(k_down, 0, m - 1)[:, None],
-                                    axis=1)[:, 0]
+        oh_down = (cols[None, :] == k_down[:, None])
+        ohf_down = oh_down.astype(dtype)
+        c_new = jnp.sum(cs * ohf_down, axis=1)
         x_new = _cround(c_new)
-        d_init = jnp.where(c_new >= x_new, 1.0, -1.0)
-        sel_down = descend[:, None] & onehot_down
+        d_init = jnp.where(c_new >= x_new, one, -one)
+        sel_down = descend[:, None] & oh_down
         center = jnp.where(sel_down, c_new[:, None], center)
         x = jnp.where(sel_down, x_new[:, None], x)
         dx = jnp.where(sel_down, d_init[:, None], dx)
         ddx = jnp.where(sel_down, d_init[:, None], ddx)
-        pd_cols = jnp.arange(m + 1)
-        onehot_pd = (pd_cols[None, :] == k_down[:, None])
-        partdist = jnp.where(descend[:, None] & onehot_pd,
+        oh_pd_down = (pd_cols[None, :] == k_down[:, None])
+        partdist = jnp.where(descend[:, None] & oh_pd_down,
                              newdist[:, None], partdist)
 
-        # --- sibling step: at level k (solution) or k+1 (bound fail) -------
         fail = active & ~ok
         sib = sol_found | (ok & at_bottom & ~nontrivial) | fail
         k_sib = jnp.where(fail, kc + 1, kc)
         lane_done = fail & (k_sib >= m)
         do_sib = sib & ~lane_done
         ks = jnp.clip(k_sib, 0, m - 1)
+        oh_s = (cols[None, :] == ks[:, None])
+        ohf_s = oh_s.astype(dtype)
 
-        # un-commit x[k+1] when ascending
         asc = do_sib & fail
-        mut_col_s = mut_t[ks]
+        mut_col_s = ohf_s @ mut_t
         below_s = cols[None, :] < ks[:, None]
-        xs = jnp.take_along_axis(x, ks[:, None], axis=1)[:, 0]
+        xs = jnp.sum(x * ohf_s, axis=1)
         cs = cs + jnp.where(asc[:, None] & below_s, xs[:, None] * mut_col_s,
-                            0.0)
+                            zero)
 
-        # zig-zag / symmetric advance (enumerate_base.h:145-172)
-        pds = jnp.take_along_axis(partdist, ks[:, None], axis=1)[:, 0]
-        dxs = jnp.take_along_axis(dx, ks[:, None], axis=1)[:, 0]
-        ddxs = jnp.take_along_axis(ddx, ks[:, None], axis=1)[:, 0]
-        zero_pd = pds == 0.0
+        pds = jnp.sum(partdist * (pd_cols[None, :] == ks[:, None]).astype(dtype),
+                      axis=1)
+        dxs = jnp.sum(dx * ohf_s, axis=1)
+        ddxs = jnp.sum(ddx * ohf_s, axis=1)
+        zero_pd = pds == zero
         if is_svp:
-            x_adv = jnp.where(zero_pd, xs + 1.0, xs + dxs)
+            x_adv = jnp.where(zero_pd, xs + one, xs + dxs)
         else:
             x_adv = xs + dxs
         ddx_adv = jnp.where(zero_pd & is_svp, ddxs, -ddxs)
         dx_adv = jnp.where(zero_pd & is_svp, dxs, ddx_adv - dxs)
-
-        onehot_s = (cols[None, :] == ks[:, None])
-        sel_s = do_sib[:, None] & onehot_s
+        sel_s = do_sib[:, None] & oh_s
         x = jnp.where(sel_s, x_adv[:, None], x)
         dx = jnp.where(sel_s, dx_adv[:, None], dx)
         ddx = jnp.where(sel_s, ddx_adv[:, None], ddx)
 
         k = jnp.where(descend, k_down, jnp.where(do_sib, k_sib, k))
         active = active & ~lane_done
+        return dict(x=x, dx=dx, ddx=ddx, center=center, partdist=partdist,
+                    cs=cs, k=k, active=active, A=A_new, best_dist=best_dist,
+                    best_dev=best_dev, sol_count=sol_count, nodes=nodes,
+                    better=better)
 
-        return {"x": x, "dx": dx, "ddx": ddx, "center": center,
-                "partdist": partdist, "cs": cs, "k": k, "active": active,
-                "A": A_new, "best_dist": best_dist, "best_x": best_x,
-                "sol_count": sol_count, "nodes": nodes,
-                "steps": st["steps"] + 1}
+    return step
+
+@partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps"))
+def _enum_steps(mut, rdiag, prune, state, m: int, is_svp: bool,
+                count_mode: bool, max_steps: int):
+    """Advance all lanes until every lane finishes or max_steps elapse.
+    State keys: x/dx/ddx/center/partdist/cs/k/active/A/best_dist/
+    best_dev/sol_count/nodes/steps (counters in the float dtype)."""
+    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode)
+
+    def body(st):
+        steps = st["steps"]
+        out = step(st)
+        out.pop("better")
+        out["steps"] = steps + 1
+        return out
 
     def cond(st):
         return jnp.any(st["active"]) & (st["steps"] < max_steps)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnames=("m", "m_real", "nfix", "is_svp",
+                                   "count_mode", "max_steps", "batch"))
+def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
+              m: int, m_real: int, nfix: int, is_svp: bool, count_mode: bool,
+              max_steps: int, batch: int = 1024):
+    """Whole-enumeration kernel: lockstep DFS over B lanes with an
+    ON-DEVICE root work queue — finished lanes pop the next subtree root
+    inside the loop body, so an entire search is one launch (no host
+    round-trips; the device-resident version of enumlib's swirlys queue,
+    enum-parallel/enumeration.h:412-505).
+
+    roots_x: (R, nfix) fixed top coordinates per subtree (levels
+    m_real..d-1); roots_pd: (R,) partial dists, sorted ascending, padded
+    with +inf. mut_fix is (m, nfix) zero-padded over virtual levels.
+    Returns final state incl. per-lane best solutions (best_dev device
+    levels + best_root fixed levels).
+    """
+    B = batch
+    R = roots_x.shape[0]
+    dtype = mut.dtype
+    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode)
+
+    def make_fresh(rx, rpd):
+        """Lane state from root rows (vectorized prepare_enumeration).
+        mut_fix has zero virtual rows and cp0 zero virtual entries, so the
+        full-width expression already zeroes virtual levels."""
+        cs = cp0[None, :] - (rx @ mut_fix.T if nfix else 0.0)
+        cs = jnp.broadcast_to(cs, (B, m)).astype(dtype)
+        k0 = m - 1
+        c0 = cs[:, k0]
+        x0 = _cround(c0)
+        if is_svp:
+            x0 = jnp.where(rpd == 0.0, jnp.maximum(x0, 0.0), x0)
+        d0 = jnp.where(c0 >= x0, 1.0, -1.0).astype(dtype)
+        x = jnp.zeros((B, m), dtype).at[:, k0].set(x0)
+        dx = jnp.ones((B, m), dtype).at[:, k0].set(d0)
+        ddx = jnp.ones((B, m), dtype).at[:, k0].set(d0)
+        center = jnp.zeros((B, m), dtype).at[:, k0].set(c0)
+        partdist = jnp.zeros((B, m + 1), dtype).at[:, k0].set(rpd)
+        return x, dx, ddx, center, partdist, cs
+
+    idx0 = jnp.arange(B)
+    rx0 = roots_x[jnp.clip(idx0, 0, R - 1)]
+    rpd0 = roots_pd[jnp.clip(idx0, 0, R - 1)]
+    live0 = (idx0 < R) & jnp.isfinite(rpd0) & (rpd0 <= A0)
+    x, dx, ddx, center, partdist, cs = make_fresh(
+        rx0, jnp.where(live0, rpd0, 0.0).astype(dtype))
+    st = {
+        "x": x, "dx": dx, "ddx": ddx, "center": center,
+        "partdist": partdist, "cs": cs,
+        "k": jnp.full((B,), m - 1, dtype=jnp.int32),
+        "active": live0,
+        "lane_root": rx0.astype(dtype),
+        "A": jnp.asarray(A0, dtype=dtype),
+        "best_dist": jnp.full((B,), jnp.inf, dtype=dtype),
+        "best_dev": jnp.zeros((B, m), dtype=dtype),
+        "best_root": jnp.zeros((B, nfix), dtype=dtype),
+        "sol_count": jnp.zeros((B,), dtype=jnp.float64),
+        "nodes": jnp.zeros((m,), dtype=jnp.float64),
+        "cursor": jnp.asarray(B, dtype=jnp.int32),
+        "steps": jnp.asarray(0, dtype=jnp.int32),
+    }
+
+    def body(st):
+        lane_root = st["lane_root"]
+        cursor = st["cursor"]
+        steps = st["steps"]
+        best_root_prev = st["best_root"]
+        out = step(st)
+        better = out.pop("better")
+        out["best_root"] = jnp.where(better[:, None], lane_root,
+                                     best_root_prev) if nfix \
+            else best_root_prev
+        out["lane_root"] = lane_root
+        out["cursor"] = cursor
+        out["steps"] = steps + 1
+
+        # ---- device-side refill from the root queue -----------------------
+        need = ~out["active"] & (out["cursor"] < R)
+
+        def do_refill(s):
+            needv = ~s["active"]
+            rank = jnp.cumsum(needv.astype(jnp.int32)) - 1
+            ridx = s["cursor"] + rank
+            can = needv & (ridx < R)
+            ridx_c = jnp.clip(ridx, 0, R - 1)
+            rx = roots_x[ridx_c].astype(dtype)
+            rpd = roots_pd[ridx_c].astype(dtype)
+            live = can & jnp.isfinite(rpd) & (rpd <= s["A"])
+            fx, fdx, fddx, fcenter, fpartdist, fcs = make_fresh(
+                rx, jnp.where(live, rpd, 0.0))
+            sel = can[:, None]
+            s = dict(s)
+            s["x"] = jnp.where(sel, fx, s["x"])
+            s["dx"] = jnp.where(sel, fdx, s["dx"])
+            s["ddx"] = jnp.where(sel, fddx, s["ddx"])
+            s["center"] = jnp.where(sel, fcenter, s["center"])
+            s["cs"] = jnp.where(sel, fcs, s["cs"])
+            s["partdist"] = jnp.where(can[:, None], fpartdist, s["partdist"])
+            s["k"] = jnp.where(can, jnp.int32(m - 1), s["k"])
+            s["active"] = jnp.where(can, live, s["active"])
+            if nfix:
+                s["lane_root"] = jnp.where(sel, rx, s["lane_root"])
+            s["cursor"] = jnp.minimum(
+                s["cursor"] + jnp.sum(needv, dtype=jnp.int32),
+                jnp.asarray(R, dtype=jnp.int32))
+            return s
+
+        return jax.lax.cond(jnp.any(need), do_refill, lambda s: s, out)
+
+    def cond(s):
+        return (jnp.any(s["active"]) | (s["cursor"] < R)) & \
+            (s["steps"] < max_steps)
+
+    return jax.lax.while_loop(cond, body, st)
 
 
 class TPUEnumerator:
@@ -174,12 +302,18 @@ class TPUEnumerator:
 
     def __init__(self, batch: int = 1024, max_device_levels: int = 64,
                  target_root_factor: int = 32, steps_per_launch: int = 50000,
-                 dive_nodes: int = 2000):
+                 dive_nodes: int = 2000, dtype=None):
         self.batch = batch
         self.max_device_levels = max_device_levels
         self.target_root_factor = target_root_factor
         self.steps_per_launch = steps_per_launch
         self.dive_nodes = dive_nodes
+        # f32 tree arithmetic is ~an order of magnitude faster on TPU than
+        # emulated f64; candidates are re-verified exactly by the evaluator,
+        # and the bound gets a relative slack so f32 rounding cannot prune
+        # the true solution (the reference runs its tree in f64, nr.h:41)
+        self.dtype = dtype if dtype is not None else jnp.float64
+        self.bound_slack = 1.0 + 1e-5 if self.dtype == jnp.float32 else 1.0
         self.nodes: np.ndarray = np.zeros(0, dtype=np.int64)
 
     # -- host-side root generation (layered top-tree expansion) -------------
@@ -246,7 +380,6 @@ class TPUEnumerator:
                                                     d, is_svp)
         order = np.argsort(roots_pd)
         roots_x, roots_pd = roots_x[order], roots_pd[order]
-        B = self.batch
         nfix = d - m_real
 
         # pad the device tree height up to a bucket so the jitted kernel is
@@ -261,163 +394,48 @@ class TPUEnumerator:
         prune_pad[:m_real] = prune[:m_real]
         cp0_pad = np.zeros(m)
         cp0_pad[:m_real] = cp0[:m_real]
+        mut_fix = mut[:m_real, m_real:d] if nfix else np.zeros((m_real, 0))
+        mut_fix_pad = np.zeros((m, nfix))
+        mut_fix_pad[:m_real] = mut_fix
 
-        mut_dev = jnp.asarray(mut_pad)
-        rdiag_dev = jnp.asarray(rdiag_pad)
-        prune_dev = jnp.asarray(prune_pad)
+        # pad the root queue to a power-of-two bucket (>= one batch) so the
+        # kernel signature stays cacheable; padding roots are dead (+inf)
+        R = len(roots_pd)
+        R_pad = 1024
+        while R_pad < R:
+            R_pad *= 2
+        rx_pad = np.zeros((R_pad, nfix))
+        rpd_pad = np.full(R_pad, np.inf)
+        rx_pad[:R] = roots_x
+        rpd_pad[:R] = roots_pd
 
-        best_overall: List[Tuple[float, np.ndarray]] = []
-        total_sols = 0
-        qpos = 0
+        dt = self.dtype
+        # in f32 mode the virtual-level sentinel must stay representable
+        if dt == jnp.float32:
+            rdiag_pad[m_real:] = 1e30
+        state = _enum_run(jnp.asarray(mut_pad, dt), jnp.asarray(rdiag_pad, dt),
+                          jnp.asarray(prune_pad, dt),
+                          jnp.asarray(mut_fix_pad, dt),
+                          jnp.asarray(cp0_pad, dt), jnp.asarray(rx_pad, dt),
+                          jnp.asarray(rpd_pad, dt),
+                          jnp.asarray(A * self.bound_slack, dtype=dt),
+                          m=m, m_real=m_real, nfix=nfix,
+                          is_svp=bool(is_svp), count_mode=bool(count_mode),
+                          max_steps=1 << 30, batch=self.batch)
 
-        def make_state(xs_batch, pd_batch, live):
-            """Initialize lanes from roots (the prepare_enumeration step)."""
-            R = xs_batch.shape[0]
-            # root coord x_j (level j >= m_real) shifts the center at level
-            # i < m_real by x_j * mut[i][j] (upper triangle of mu^T);
-            # virtual levels [m_real, m) keep center 0
-            cs = np.zeros((R, m))
-            cs[:, :m_real] = cp0[:m_real][None, :] - \
-                (xs_batch @ mut[:m_real, m_real:d].T if nfix else 0.0)
-            x = np.zeros((R, m))
-            center = np.zeros((R, m))
-            dxa = np.ones((R, m))
-            ddxa = np.ones((R, m))
-            partdist = np.zeros((R, m + 1))
-            partdist[:, m] = 0.0
-            k0 = m - 1
-            center[:, k0] = cs[:, k0]
-            # top zero-prefix lanes in SVP mode must start at x=max(round,0)?
-            xr = np.vectorize(_roundf)(center[:, k0])
-            zerop = live & (pd_batch == 0) & is_svp
-            x[:, k0] = np.where(zerop, np.maximum(xr, 0.0), xr)
-            dxa[:, k0] = ddxa[:, k0] = np.where(center[:, k0] >= x[:, k0],
-                                                1.0, -1.0)
-            partdist[:, k0] = pd_batch
-            return {
-                "x": jnp.asarray(x), "dx": jnp.asarray(dxa),
-                "ddx": jnp.asarray(ddxa), "center": jnp.asarray(center),
-                "partdist": jnp.asarray(partdist), "cs": jnp.asarray(cs),
-                "k": jnp.full((R,), k0, dtype=jnp.int32),
-                "active": jnp.asarray(live),
-                "A": jnp.asarray(A, dtype=jnp.float64),
-                "best_dist": jnp.full((R,), np.inf),
-                "best_x": jnp.zeros((R, m)),
-                "sol_count": jnp.zeros((R,), dtype=jnp.int64),
-                "nodes": jnp.zeros((m,), dtype=jnp.int64),
-                "steps": jnp.asarray(0, dtype=jnp.int64),
-            }
-
-        # lanes are refilled from the root queue after every launch so a
-        # few giant subtrees do not leave the rest of the batch idle (the
-        # work-queue role of enumlib's swirlys, enumeration.h:412-505)
-        R_total = len(roots_pd)
-        lane_roots = np.zeros((B, nfix))
-        state_np = None
-
-        def harvest(bd, bx, roots_of_lane, mask):
-            nonlocal A, total_sols
-            for i in np.where(mask)[0]:
-                full = np.concatenate([bx[i][:m_real], roots_of_lane[i]])
-                best_overall.append((float(bd[i]), full))
-            if not count_mode and mask.any():
-                A = min(A, float(bd[mask].min()))
-
-        def fresh_rows(count):
-            """Pop up to `count` still-live roots from the queue."""
-            nonlocal qpos
-            while qpos < R_total:
-                # roots are sorted by pd, so the first dead root ends the queue
-                chunk = slice(qpos, min(qpos + max(count, 1), R_total))
-                live = roots_pd[chunk] <= A
-                if not live.any():
-                    qpos = R_total
-                    break
-                n_take = int(live.sum())
-                xs_sel = roots_x[chunk][live][:count]
-                pd_sel = roots_pd[chunk][live][:count]
-                qpos += int(np.asarray(live).size)
-                return xs_sel.reshape(len(pd_sel), nfix), pd_sel
-            return np.zeros((0, nfix)), np.zeros(0)
-
-        while True:
-            if state_np is None:
-                xs_f, pd_f = fresh_rows(B)
-                nf = len(pd_f)
-                if nf == 0:
-                    break
-                xs_b = np.zeros((B, nfix))
-                pd_b = np.zeros(B)
-                live = np.zeros(B, dtype=bool)
-                xs_b[:nf] = xs_f
-                pd_b[:nf] = pd_f
-                live[:nf] = True
-                lane_roots = xs_b
-                state = make_state(xs_b, pd_b, live)
-            else:
-                # compact live lanes, harvest + replace finished ones
-                active = state_np["active"]
-                n_active = int(active.sum())
-                done = ~active
-                harvest(state_np["best_dist"], state_np["best_x"], lane_roots,
-                        done & np.isfinite(state_np["best_dist"]))
-                if n_active == 0 and qpos >= R_total:
-                    break
-                xs_f, pd_f = fresh_rows(B - n_active)
-                nf = len(pd_f)
-                if n_active == 0 and nf == 0:
-                    break
-                if nf:
-                    fresh = make_state(xs_f, pd_f, np.ones(nf, dtype=bool))
-                    slots = np.where(done)[0][:nf]
-                    for key in ("x", "dx", "ddx", "center", "partdist", "cs",
-                                "best_x"):
-                        state_np[key][slots] = np.asarray(fresh[key])[:nf]
-                    state_np["k"][slots] = np.asarray(fresh["k"])[:nf]
-                    state_np["active"][slots] = True
-                    state_np["best_dist"][slots] = np.inf
-                    state_np["sol_count"][slots] = 0
-                    lane_roots[slots] = xs_f
-                    # deactivate remaining finished lanes for clarity
-                    state = {k: jnp.asarray(v) for k, v in state_np.items()
-                             if k not in ("A", "steps", "nodes")}
-                    state["A"] = jnp.asarray(min(A, float(state_np["A"])),
-                                             dtype=jnp.float64)
-                    state["nodes"] = jnp.asarray(state_np["nodes"])
-                    state["steps"] = jnp.asarray(0, dtype=jnp.int64)
-                else:
-                    state = {k: (jnp.asarray(v) if k != "steps" else
-                                 jnp.asarray(0, dtype=jnp.int64))
-                             for k, v in state_np.items()}
-                    state["A"] = jnp.asarray(min(A, float(state_np["A"])),
-                                             dtype=jnp.float64)
-
-            state["steps"] = jnp.asarray(0, dtype=jnp.int64)
-            state = _enum_steps(mut_dev, rdiag_dev, prune_dev, state,
-                                m=m, is_svp=bool(is_svp),
-                                count_mode=bool(count_mode),
-                                max_steps=self.steps_per_launch)
-            state_np = {k: np.array(v) for k, v in state.items()}
-            self.nodes[:m] += state_np["nodes"]
-            state_np["nodes"][:] = 0
-            total_sols += int(state_np["sol_count"].sum())
-            state_np["sol_count"][:] = 0
-            # harvest improving solutions from still-active lanes too, so A
-            # propagates across batches through harvest()
-            liveband = np.isfinite(state_np["best_dist"])
-            if liveband.any() and not count_mode:
-                A = min(A, float(state_np["best_dist"][liveband].min()))
-
-        # final harvest
-        if state_np is not None:
-            harvest(state_np["best_dist"], state_np["best_x"], lane_roots,
-                    np.isfinite(state_np["best_dist"]))
-
-        # merge solutions into the evaluator (shortest first)
+        self.nodes[:m] += np.asarray(state["nodes"]).astype(np.int64)
+        bd = np.array(state["best_dist"])
+        bdev = np.array(state["best_dev"])
+        broot = np.array(state["best_root"])
+        found = np.isfinite(bd)
+        best_overall = [
+            (float(bd[i]), np.concatenate([bdev[i][:m_real], broot[i]]))
+            for i in np.where(found)[0]]
         best_overall.sort(key=lambda t: t[0])
+
         maxdist_out = maxdist
         if count_mode:
-            evaluator.sol_count += total_sols
+            evaluator.sol_count += int(np.asarray(state["sol_count"]).sum())
             return maxdist_out, self.nodes
         for dist, full in best_overall[:max(evaluator.max_sols * 4, 8)]:
             maxdist_out = evaluator.eval_sol(list(full), dist, maxdist_out)

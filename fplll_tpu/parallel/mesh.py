@@ -118,12 +118,12 @@ class ShardedEnumerator:
                        "center": P("enum"), "partdist": P("enum"),
                        "cs": P("enum"), "k": P("enum"), "active": P("enum"),
                        "A": P(), "best_dist": P("enum"),
-                       "best_x": P("enum"), "sol_count": P("enum"),
+                       "best_dev": P("enum"), "sol_count": P("enum"),
                        "nodes": P(), "steps": P()}),
             out_specs={"x": P("enum"), "dx": P("enum"), "ddx": P("enum"),
                        "center": P("enum"), "partdist": P("enum"),
                        "cs": P("enum"), "k": P("enum"), "active": P("enum"),
-                       "A": P(), "best_dist": P("enum"), "best_x": P("enum"),
+                       "A": P(), "best_dist": P("enum"), "best_dev": P("enum"),
                        "sol_count": P("enum"), "nodes": P(), "steps": P()},
             check_vma=False)
 
@@ -157,8 +157,8 @@ class ShardedEnumerator:
                     "k": np.full(R, k0, dtype=np.int32),
                     "active": live.copy(),
                     "best_dist": np.full(R, np.inf),
-                    "best_x": np.zeros((R, m)),
-                    "sol_count": np.zeros(R, dtype=np.int64)}
+                    "best_dev": np.zeros((R, m)),
+                    "sol_count": np.zeros(R, dtype=np.float64)}
 
         state_np = None
         while True:
@@ -184,7 +184,7 @@ class ShardedEnumerator:
                 for i in np.where(done & np.isfinite(bd))[0]:
                     best_overall.append(
                         (float(bd[i]),
-                         np.concatenate([state_np["best_x"][i][:m_real],
+                         np.concatenate([state_np["best_dev"][i][:m_real],
                                          lane_roots[i]])))
                     state_np["best_dist"][i] = np.inf
                 if not count_mode and best_overall:
@@ -211,15 +211,15 @@ class ShardedEnumerator:
 
             state = {k: jnp.asarray(v) for k, v in state_np.items()}
             state["A"] = jnp.asarray(A, dtype=jnp.float64)
-            state["nodes"] = jnp.zeros((m,), dtype=jnp.int64)
-            state["steps"] = jnp.asarray(0, dtype=jnp.int64)
+            state["nodes"] = jnp.zeros((m,), dtype=jnp.float64)
+            state["steps"] = jnp.asarray(0, dtype=jnp.int32)
             with self.mesh:
                 state = sweep(jnp.asarray(mut_pad), jnp.asarray(rdiag_pad),
                               jnp.asarray(prune_pad), state)
             state_np = {k: np.array(v) for k, v in state.items()}
-            self.nodes[:m] += state_np.pop("nodes")
+            self.nodes[:m] += state_np.pop("nodes").astype(np.int64)
             total_sols += int(state_np.pop("sol_count").sum())
-            state_np["sol_count"] = np.zeros(B, dtype=np.int64)
+            state_np["sol_count"] = np.zeros(B, dtype=np.float64)
             A = min(A, float(state_np.pop("A")))
             state_np.pop("steps")
             livebd = np.isfinite(state_np["best_dist"])
@@ -231,7 +231,7 @@ class ShardedEnumerator:
             for i in np.where(np.isfinite(bd))[0]:
                 best_overall.append(
                     (float(bd[i]),
-                     np.concatenate([state_np["best_x"][i][:m_real],
+                     np.concatenate([state_np["best_dev"][i][:m_real],
                                      lane_roots[i]])))
 
         best_overall.sort(key=lambda t: t[0])
