@@ -106,6 +106,45 @@ class EnumerationDyn:
         self.subsoldists = list(self.rdiag)
         self.nodes = [0] * d
 
+        # native fast path: the C DFS core covers the common single-best
+        # searches (no reset, no subtree, no subsolutions, best-1 bound
+        # semantics); everything else runs the Python reference loop
+        ev = self._evaluator
+        from .evaluator import (CallbackEvaluator, EVALSTRATEGY_BEST_N_SOLUTIONS,
+                                EVALMODE_COUNT)
+        count_mode = getattr(ev, "eval_mode", 0) == EVALMODE_COUNT
+        eligible = (
+            not self.resetflag and not subtree and not subtree_reset
+            and not ev.findsubsols and not isinstance(ev, CallbackEvaluator)
+            and (count_mode or (ev.strategy == EVALSTRATEGY_BEST_N_SOLUTIONS
+                                and ev.max_sols == 1))
+        )
+        if eligible:
+            import numpy as _np
+            from ..native import native_enumerate
+            out = native_enumerate(
+                _np.asarray(self.mut, dtype=_np.float64),
+                _np.asarray(self.rdiag, dtype=_np.float64),
+                _np.asarray(self.pruning_bounds, dtype=_np.float64)
+                if self.pruning_bounds else None,
+                _np.asarray(self.center_partsum, dtype=_np.float64)
+                if not solvingsvp else None,
+                self.maxdist, solvingsvp, dual, count_mode,
+                node_budget=node_budget)
+            if out is not None:
+                new_max, best_dist, best_x, sol_count, cnodes, _ = out
+                self.nodes = [int(v) for v in cnodes]
+                if count_mode:
+                    ev.sol_count += int(sol_count)
+                elif best_x is not None:
+                    self.maxdist = ev.eval_sol([float(v) for v in best_x],
+                                               best_dist, new_max)
+                result = math.ldexp(self.maxdist, normexp - fmaxdistexpo)
+                if dual and not ev.empty():
+                    for i, (dist, sol) in enumerate(ev.solutions):
+                        ev.solutions[i] = (dist, sol[::-1])
+                return result
+
         self.x = [0.0] * d
         self.dx = [0.0] * d
         self.ddx = [0.0] * d
