@@ -239,6 +239,39 @@ class MatGSOInterface:
             vals = [self.get_r(i, i) for i in range(self.n_known_rows)]
             return max(vals) if vals else self.ctx.scalar(0)
 
+    def get_max_gram(self) -> int:
+        """max diagonal Gram entry (gso_interface.cpp:55-77)."""
+        vals = [self.get_int_gram(i, i) for i in range(self.n_known_rows)]
+        return max(vals) if vals else 0
+
+    def apply_transform(self, transform, src_base: int,
+                        target_base: int) -> None:
+        """Replace rows [target_base, target_base+k) by transform applied
+        to rows starting at src_base (gso_interface.cpp:174-196).
+
+        transform is a list of integer coefficient rows.
+        """
+        target_size = len(transform)
+        if target_size == 0:
+            return
+        old_d = self.d
+        self.create_rows(target_size)
+        for i in range(target_size):
+            for j, c in enumerate(transform[i]):
+                if c:
+                    self._row_addmul_exact(old_d + i, src_base + j, int(c))
+        self.row_op_begin(target_base, target_base + target_size)
+        for i in range(target_size):
+            self.row_swap(target_base + i, old_d + i)
+        self.row_op_end(target_base, target_base + target_size)
+        self.remove_last_rows(target_size)
+
+    def create_rows(self, n: int) -> None:
+        raise NotImplementedError
+
+    def remove_last_rows(self, n: int) -> None:
+        raise NotImplementedError
+
     # -- exact row operations ------------------------------------------------
     def row_addmul(self, i: int, j: int, x) -> None:
         self.row_addmul_we(i, j, x, 0)
@@ -628,6 +661,60 @@ class MatGSO(MatGSOInterface):
                 self.n_known_rows -= 1
                 self.n_source_rows = self.n_known_rows
                 self.init_row_size[new_r] = max(self.b.row_size_nz(new_r), 1)
+
+    # -- row creation/removal (gso_interface.h create_row/remove_last_rows) --
+    def create_rows(self, n: int) -> None:
+        d_new = self.d + n
+        cols = self.b.ncols
+        self.b.resize(d_new, cols)
+        if self.enable_transform:
+            self.u.resize(d_new, self.u.ncols)
+        def grow(a, shape):
+            out = self.ctx.zeros(shape)
+            out[:a.shape[0], :a.shape[1]] = a
+            return out
+        self.mu = grow(self.mu, (d_new, d_new))
+        self.r = grow(self.r, (d_new, d_new))
+        if self.enable_int_gram:
+            g_new = np.empty((d_new, d_new), dtype=object)
+            g_new[...] = 0
+            g_new[:self.d, :self.d] = self.g
+            self.g = g_new
+        else:
+            self.bf = grow(self.bf, (d_new, cols))
+            gf_new = self.ctx.zeros((d_new, d_new))
+            gf_new[...] = math.nan
+            gf_new[:self.d, :self.d] = self.gf
+            self.gf = gf_new
+        if self.enable_row_expo:
+            self.row_expo = np.concatenate(
+                [self.row_expo, np.zeros(n, dtype=np.int64)])
+        self.gso_valid_cols += [0] * n
+        self.init_row_size += [1] * n
+        self.d = d_new
+        # new zero rows are discovered immediately so row ops apply to them
+        while self.n_known_rows < self.d:
+            self.discover_row()
+
+    def remove_last_rows(self, n: int) -> None:
+        d_new = self.d - n
+        self.b.resize(d_new, self.b.ncols)
+        if self.enable_transform:
+            self.u.resize(d_new, self.u.ncols)
+        self.mu = self.mu[:d_new, :d_new]
+        self.r = self.r[:d_new, :d_new]
+        if self.enable_int_gram:
+            self.g = self.g[:d_new, :d_new]
+        else:
+            self.bf = self.bf[:d_new]
+            self.gf = self.gf[:d_new, :d_new]
+        if self.enable_row_expo:
+            self.row_expo = self.row_expo[:d_new]
+        self.gso_valid_cols = self.gso_valid_cols[:d_new]
+        self.init_row_size = self.init_row_size[:d_new]
+        self.d = d_new
+        self.n_known_rows = min(self.n_known_rows, d_new)
+        self.n_source_rows = min(self.n_source_rows, d_new)
 
     # -- misc ----------------------------------------------------------------
     def b_row_is_zero(self, i: int) -> bool:

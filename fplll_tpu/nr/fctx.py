@@ -64,7 +64,7 @@ def round_mul_2exp(m: float, expo: int) -> int:
     applied to the basis (reference: FP_NR::rnd_we + row_addmul_we,
     gso.cpp:236-262), without overflowing when expo is huge.
     """
-    if m == 0.0:
+    if m == 0.0 or not math.isfinite(m):
         return 0
     fm, fe = math.frexp(m)           # m = fm * 2^fe, 0.5 <= |fm| < 1
     mant = int(fm * (1 << 53))       # exact: 53-bit integer
