@@ -500,8 +500,15 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         # and the first successful pass has a near-tight radius
         trial = min(gh2 / 1024.0, maxdist)
     total_nodes = np.zeros(d, dtype=np.int64)
+    # f32 tree for heuristic searches (BKZ blocks: FastEvaluator + exact
+    # postprocessing); f64 when the caller needs certified completeness
+    # (error-bounded evaluators of the proved SVP/CVP drivers)
+    from .evaluator import ErrorBoundedEvaluator
+    from ..threads import get_batch
+    dtype = jnp.float64 if isinstance(evaluator, ErrorBoundedEvaluator) \
+        else jnp.float32
     while True:
-        enum = TPUEnumerator()
+        enum = TPUEnumerator(batch=get_batch(), dtype=dtype)
         new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,
                                             is_svp, evaluator,
                                             count_mode=count_mode)
