@@ -69,21 +69,24 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
     rdiag_pad[:m_real] = rdiag[:m_real]
     prune_pad = np.ones(m)
     cp0_pad = np.zeros(m)
-    mut_fix_pad = np.zeros((m, nfix))
-    mut_fix_pad[:m_real] = mut[:m_real, m_real:d]
+    nfix_pad = 0
+    while nfix_pad < nfix:
+        nfix_pad = 8 if nfix_pad == 0 else nfix_pad * 2
+    mut_fix_pad = np.zeros((m, nfix_pad))
+    if nfix:
+        mut_fix_pad[:m_real, :nfix] = mut[:m_real, m_real:d]
     R_pad = 1024
     while R_pad < len(roots_pd):
         R_pad *= 2
-    rx_pad = np.zeros((R_pad, nfix))
+    rx_pad = np.zeros((R_pad, nfix_pad))
     rpd_pad = np.full(R_pad, np.inf)
-    rx_pad[:len(roots_pd)] = roots_x
+    rx_pad[:len(roots_pd), :nfix] = roots_x
     rpd_pad[:len(roots_pd)] = roots_pd
 
     args = tuple(jnp.asarray(a, dtype) for a in
                  (mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
                   rx_pad, rpd_pad)) + (jnp.asarray(radius, dtype),)
-    kw = dict(m=m, m_real=m_real, nfix=nfix, is_svp=True, count_mode=True,
-              batch=batch)
+    kw = dict(m=m, is_svp=True, count_mode=True, batch=batch)
     # warm-up compiles the kernel
     state = _enum_run(*args, max_steps=64, **kw)
     jax.block_until_ready(state["nodes"])

@@ -179,10 +179,10 @@ def _enum_steps(mut, rdiag, prune, state, m: int, is_svp: bool,
     return jax.lax.while_loop(cond, body, state)
 
 
-@partial(jax.jit, static_argnames=("m", "m_real", "nfix", "is_svp",
-                                   "count_mode", "max_steps", "batch"))
+@partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps",
+                                   "batch"))
 def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
-              m: int, m_real: int, nfix: int, is_svp: bool, count_mode: bool,
+              m: int, is_svp: bool, count_mode: bool,
               max_steps: int, batch: int = 1024):
     """Whole-enumeration kernel: lockstep DFS over B lanes with an
     ON-DEVICE root work queue — finished lanes pop the next subtree root
@@ -198,6 +198,7 @@ def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
     """
     B = batch
     R = roots_x.shape[0]
+    nfix = roots_x.shape[1]  # static via shape: padded to a bucket by caller
     dtype = mut.dtype
     step = _make_step(mut, rdiag, prune, m, is_svp, count_mode)
 
@@ -394,9 +395,14 @@ class TPUEnumerator:
         prune_pad[:m_real] = prune[:m_real]
         cp0_pad = np.zeros(m)
         cp0_pad[:m_real] = cp0[:m_real]
-        mut_fix = mut[:m_real, m_real:d] if nfix else np.zeros((m_real, 0))
-        mut_fix_pad = np.zeros((m, nfix))
-        mut_fix_pad[:m_real] = mut_fix
+        # pad the fixed-level count to a bucket so the kernel signature is
+        # shape-cacheable across problems
+        nfix_pad = 0
+        while nfix_pad < nfix:
+            nfix_pad = 8 if nfix_pad == 0 else nfix_pad * 2
+        mut_fix_pad = np.zeros((m, nfix_pad))
+        if nfix:
+            mut_fix_pad[:m_real, :nfix] = mut[:m_real, m_real:d]
 
         # pad the root queue to a power-of-two bucket (>= one batch) so the
         # kernel signature stays cacheable; padding roots are dead (+inf)
@@ -404,9 +410,9 @@ class TPUEnumerator:
         R_pad = 1024
         while R_pad < R:
             R_pad *= 2
-        rx_pad = np.zeros((R_pad, nfix))
+        rx_pad = np.zeros((R_pad, nfix_pad))
         rpd_pad = np.full(R_pad, np.inf)
-        rx_pad[:R] = roots_x
+        rx_pad[:R, :nfix] = roots_x
         rpd_pad[:R] = roots_pd
 
         dt = self.dtype
@@ -419,8 +425,8 @@ class TPUEnumerator:
                           jnp.asarray(cp0_pad, dt), jnp.asarray(rx_pad, dt),
                           jnp.asarray(rpd_pad, dt),
                           jnp.asarray(A * self.bound_slack, dtype=dt),
-                          m=m, m_real=m_real, nfix=nfix,
-                          is_svp=bool(is_svp), count_mode=bool(count_mode),
+                          m=m, is_svp=bool(is_svp),
+                          count_mode=bool(count_mode),
                           max_steps=1 << 30, batch=self.batch)
 
         self.nodes[:m] += np.asarray(state["nodes"]).astype(np.int64)
@@ -429,7 +435,8 @@ class TPUEnumerator:
         broot = np.array(state["best_root"])
         found = np.isfinite(bd)
         best_overall = [
-            (float(bd[i]), np.concatenate([bdev[i][:m_real], broot[i]]))
+            (float(bd[i]),
+             np.concatenate([bdev[i][:m_real], broot[i][:nfix]]))
             for i in np.where(found)[0]]
         best_overall.sort(key=lambda t: t[0])
 
