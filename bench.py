@@ -100,8 +100,8 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
 
 def main() -> int:
     d = int(sys.argv[1]) if len(sys.argv) > 1 else 46
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    max_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 200000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    max_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 400000
     from fplll_tpu.jaxsetup import jnp
     mut, rdiag, gh2 = build_problem(d)
     best = 0.0
