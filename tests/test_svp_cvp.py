@@ -93,3 +93,64 @@ def test_cvp_large(lattice_dir, suffix):
     dg = sum((a - c) ** 2 for a, c in zip(got, t))
     dw = sum((a - c) ** 2 for a, c in zip(want, t))
     assert dg == dw
+
+
+def test_svp_on_gram_object():
+    """SVP over a MatGSOGram matches SVP over the basis
+    (test_svp_gram.cpp analogue)."""
+    from fplll_tpu.core.gso import MatGSO, MatGSOGram
+    from fplll_tpu.defs import GSO_INT_GRAM
+    from fplll_tpu.nr.fctx import MPCtx
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops import gen
+    import fplll_tpu as fl
+
+    RandGen.init_with_seed(31)
+    basis = gen.gen_uniform(12, 10)
+    lll_reduction(basis)
+    st, sol = shortest_vector(basis.copy())
+    assert st == RED_SUCCESS
+    want = norm_sq(apply_coords(basis, sol))
+
+    G = fl.IntMat.from_rows(
+        [[basis.dot_rows(i, j) for j in range(12)] for i in range(12)])
+    gso = MatGSOGram(G, flags=GSO_INT_GRAM, ctx=MPCtx(80))
+    st2, sol2, ev, _ = shortest_vector_ex(gso)
+    assert st2 == RED_SUCCESS
+    got = norm_sq(apply_coords(basis, sol2))
+    assert got == want
+
+
+def test_bkz_on_gram_object():
+    """BKZ over a Gram matrix matches BKZ over the basis on r_ii
+    (test_bkz_gram.cpp analogue)."""
+    from fplll_tpu.algs.bkz import BKZReduction
+    from fplll_tpu.algs.bkz_param import BKZParam
+    from fplll_tpu.algs.lll import LLLReduction
+    from fplll_tpu.core.gso import MatGSO, MatGSOGram
+    from fplll_tpu.defs import BKZ_AUTO_ABORT, GSO_INT_GRAM
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops import gen
+    import fplll_tpu as fl
+
+    RandGen.init_with_seed(32)
+    basis = gen.gen_uniform(10, 10)
+    G = fl.IntMat.from_rows(
+        [[basis.dot_rows(i, j) for j in range(10)] for i in range(10)])
+
+    mg = MatGSOGram(G, flags=GSO_INT_GRAM)
+    lg = LLLReduction(mg, 0.99, 0.51)
+    bg = BKZReduction(mg, lg, BKZParam(4, None, flags=BKZ_AUTO_ABORT))
+    assert bg.bkz()
+
+    mb = MatGSO(basis, flags=GSO_INT_GRAM)
+    lb = LLLReduction(mb, 0.99, 0.51)
+    bb = BKZReduction(mb, lb, BKZParam(4, None, flags=BKZ_AUTO_ABORT))
+    assert bb.bkz()
+
+    mg.update_gso()
+    mb.update_gso()
+    for i in range(10):
+        a = float(mg.get_r(i, i))
+        c = float(mb.get_r(i, i))
+        assert abs(a - c) <= 1e-6 * max(1.0, abs(c))
