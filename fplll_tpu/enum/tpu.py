@@ -452,7 +452,10 @@ class TPUEnumerator:
 # ---------------------------------------------------------------------------
 # Backend adapter for the enumeration facade (the extenum seam)
 # ---------------------------------------------------------------------------
-_MIN_TPU_DIM = 8
+# Below this dimension the native sequential core (no launch latency,
+# ~58M nodes/s) beats the batched kernel; the kernel's advantage is huge
+# trees. The facade falls back to the host oracle under this size.
+_MIN_TPU_DIM = int(__import__("os").environ.get("FPLLL_TPU_MIN_ENUM_DIM", 34))
 
 
 def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
@@ -486,10 +489,12 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     if not count_mode:
         top_width = 2.0 * math.sqrt(max(maxdist, 0.0) / rdiag[d - 1]) + 1.0
         if top_width > 64.0:
+            from ..native import get_lib
+            budget = 2_000_000 if get_lib() is not None else 20000
             dyn = EnumerationDyn(gso, evaluator)
             newmax = dyn.enumerate(first, last, fmaxdist, fmaxdistexpo,
                                    target_coord, (), pruning, False, False,
-                                   node_budget=20000)
+                                   node_budget=budget)
             maxdist = math.ldexp(newmax, fmaxdistexpo - normexp)
 
     prune = np.asarray(pruning, dtype=np.float64) if len(pruning) else None

@@ -380,7 +380,7 @@ class Pruner:
         non-empty)."""
         d = self.d
         if (self.flags & PRUNER_START_FROM_INPUT) and len(pr) == self.n:
-            b = self._load_coefficients(pr)
+            b = self._load_coefficients(pr, full=False)  # evec warm start
         else:
             # greedy linear-ish init
             b = np.linspace(0.3, 1.0, d) ** 1.0
