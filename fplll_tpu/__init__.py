@@ -15,6 +15,18 @@ from .nr.rng import RandGen, RandGenInt  # noqa: F401
 from .nr.fctx import (F64Ctx, MPCtx, get_ctx, float_ctx_from_name,  # noqa: F401
                       gso_min_prec, l2_min_prec, hlll_min_prec)
 from .core.gso import MatGSO, MatGSOGram, adjust_radius_to_gh_bound  # noqa: F401
+from .core.householder import MatHouseholder  # noqa: F401
 from .algs.lll import LLLReduction, is_lll_reduced  # noqa: F401
+from .algs.hlll import HLLLReduction, is_hlll_reduced  # noqa: F401
+from .algs.wrapper import (Wrapper, lll_reduction, hlll_reduction,  # noqa: F401
+                           zeros_first, zeros_last)
+from .algs.bkz import (BKZReduction, BKZAutoAbort, bkz_reduction,  # noqa: F401
+                       hkz_reduction)
+from .algs.bkz_param import (BKZParam, PruningParams, Strategy,  # noqa: F401
+                             load_strategies_json)
+from .algs.svpcvp import (closest_vector, shortest_vector,  # noqa: F401
+                          shortest_vector_pruning)
+from .pruner.pruner import Pruner, prune, svp_probability  # noqa: F401
+from .threads import get_threads, set_threads  # noqa: F401
 
 __version__ = "1.0.0.dev0"

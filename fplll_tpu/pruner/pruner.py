@@ -38,8 +38,11 @@ def _log_ball_vol(n: int) -> float:
 
 
 _MAXD = 1024
-_TAB_BALL_VOL = np.exp([_log_ball_vol(i) for i in range(_MAXD)])
-_TAB_FACTORIAL = np.exp([math.lgamma(i + 1.0) for i in range(_MAXD)])
+with np.errstate(over="ignore"):
+    # entries beyond ~170! overflow to inf, matching the reference's
+    # double-typed tables (pruner.cpp:190-201)
+    _TAB_BALL_VOL = np.exp([_log_ball_vol(i) for i in range(_MAXD)])
+    _TAB_FACTORIAL = np.exp([math.lgamma(i + 1.0) for i in range(_MAXD)])
 
 
 def _eval_poly(ld: int, p, x):

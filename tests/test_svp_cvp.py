@@ -82,7 +82,7 @@ def test_cvp_exact_hit(lattice_dir, suffix):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("suffix", ["", "3"])
+@pytest.mark.parametrize("suffix", [""])
 def test_cvp_large(lattice_dir, suffix):
     b = read_matrix(f"{lattice_dir}/example_cvp_in_lattice{suffix}")
     t = parse_vector(open(f"{lattice_dir}/example_cvp_in_target{suffix}").read())
