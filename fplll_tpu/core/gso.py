@@ -419,6 +419,30 @@ class MatGSOInterface:
         k = last - first
         for i in range(first, last):
             self.update_gso_row(i)
+        if isinstance(self.ctx, F64Ctx):
+            # vectorized export: true values via per-row exponent outer sums
+            mu_blk = np.asarray(self.mu[first:last, first:last],
+                                dtype=np.float64)
+            r_diag = np.array([self.r[first + i, first + i]
+                               for i in range(k)], dtype=np.float64)
+            if self.enable_row_expo:
+                e = self.row_expo[first:last].astype(np.int64)
+                with np.errstate(over="ignore", under="ignore"):
+                    mu_true = np.ldexp(mu_blk, e[:, None] - e[None, :])
+                r_e = 2 * e
+            else:
+                mu_true = mu_blk
+                r_e = np.zeros(k, dtype=np.int64)
+            mant, ex = np.frexp(r_diag)
+            cur = r_e + np.where(r_diag == 0.0, 0, ex - 1)
+            normexp = int(cur.max()) if k else 0
+            normexp += normexp & 1
+            with np.errstate(over="ignore", under="ignore"):
+                rdiag = np.ldexp(r_diag, r_e - normexp)
+            mut = np.zeros((k, k), dtype=np.float64)
+            iu = np.triu_indices(k, 1)
+            mut[iu] = mu_true.T[iu]
+            return mut, rdiag, normexp
         # normexp = max over rows of r exponent (even), as in enumerate.cpp
         normexp = 0
         for i in range(first, last):
