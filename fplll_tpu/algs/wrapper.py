@@ -15,6 +15,7 @@ in the reference.
 from __future__ import annotations
 
 import math
+import os
 import sys
 from typing import Optional
 
@@ -169,11 +170,31 @@ class Wrapper:
             ctx = MPCtx(self.good_prec, FT_MPFR)
         return self._call_lll(LM_PROVED, ctx, self.good_prec)
 
+    def _native_fast_rung(self) -> int | None:
+        """Try the native multi-limb fast LLL first (the compiled engine of
+        the first ladder rung). Returns 0 on success, nonzero to continue
+        the ladder from the partially reduced basis, None if unavailable."""
+        import os
+        if os.environ.get("FPLLL_TPU_NATIVE_LLL", "1") != "1":
+            return None
+        if self.u_inv is not None or (self.flags & (LLL_VERBOSE | 2 | 4)):
+            return None  # early-red/siegel/verbose stay on the python engine
+        from ..native import native_lll_fast
+        st = native_lll_fast(self.b, self.u, self.delta, self.eta)
+        if st is None:
+            return None
+        self.status = st if st in (RED_SUCCESS, RED_GSO_FAILURE,
+                                   RED_BABAI_FAILURE, RED_LLL_FAILURE) \
+            else RED_LLL_FAILURE
+        return 0 if st == RED_SUCCESS else 1
+
     def lll(self) -> bool:
         """The ladder (wrapper.cpp:281-359)."""
         if self.d == 0 or self.n == 0:
             return True
-        kappa = self._call_lll(LM_FAST, F64Ctx(), 0)
+        kappa = self._native_fast_rung()
+        if kappa is None:
+            kappa = self._call_lll(LM_FAST, F64Ctx(), 0)
         lll_failure = kappa != 0
         last_prec = PREC_DOUBLE
         if lll_failure:
@@ -367,6 +388,16 @@ def lll_reduction(b: IntMat, u: Optional[IntMat] = None,
         raise ValueError("'double'/'long double'/'dd'/'qd' required for fast")
 
     ctx = get_ctx(sel_ft, sel_prec)
+
+    if method == LM_FAST and sel_ft == FT_DOUBLE and u_inv is None and \
+            not (flags & (LLL_VERBOSE | 2 | 4)) and \
+            os.environ.get("FPLLL_TPU_NATIVE_LLL", "1") == "1":
+        from ..native import native_lll_fast
+        st = native_lll_fast(b, u, delta, eta)
+        if st == 0:
+            zeros_first(b, u, u_inv)
+            return RED_SUCCESS
+        # nonzero/None: continue with the python engine from current state
 
     gso_flags = 0
     if method == LM_PROVED:

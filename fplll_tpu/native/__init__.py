@@ -110,3 +110,151 @@ def native_enumerate(mut: np.ndarray, rdiag: np.ndarray,
         return None
     return (res.maxdist, res.best_dist,
             best_x if res.found else None, res.sol_count, nodes, res.visited)
+
+
+# ---------------------------------------------------------------------------
+# lll_core: fast-method LLL over multi-limb integers
+# ---------------------------------------------------------------------------
+_LLL_LIB = None
+_LLL_TRIED = False
+
+
+def _build_lll() -> Optional[ctypes.CDLL]:
+    src = os.path.join(_HERE, "lll_core.c")
+    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
+                               os.path.expanduser("~/.cache/fplll_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "lll_core.so")
+    if not os.path.exists(so_path) or \
+            os.path.getmtime(so_path) < os.path.getmtime(src):
+        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+               "-o", so_path, src, "-lm"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            try:
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (OSError, subprocess.SubprocessError):
+                return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.lll_fast.restype = ctypes.c_int
+    lib.lll_fast.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        ctypes.c_void_p,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    return lib
+
+
+def get_lll_lib() -> Optional[ctypes.CDLL]:
+    global _LLL_LIB, _LLL_TRIED
+    if not _LLL_TRIED:
+        _LLL_TRIED = True
+        _LLL_LIB = _build_lll()
+    return _LLL_LIB
+
+
+def _ints_to_limbs(rows, L: int) -> np.ndarray:
+    """Python ints -> little-endian two's-complement uint64 limb tensor."""
+    d = len(rows)
+    n = len(rows[0])
+    out = np.zeros((d, n, L), dtype=np.uint64)
+    mod = 1 << (64 * L)
+    mask = (1 << 64) - 1
+    for i in range(d):
+        for j in range(n):
+            v = int(rows[i][j]) % mod
+            for t in range(L):
+                out[i, j, t] = v & mask
+                v >>= 64
+                if v == 0 and rows[i][j] >= 0:
+                    break
+            else:
+                continue
+    # negative values need full sign fill, redo generically (rare path)
+    for i in range(d):
+        for j in range(n):
+            if int(rows[i][j]) < 0:
+                v = int(rows[i][j]) % mod
+                for t in range(L):
+                    out[i, j, t] = (v >> (64 * t)) & mask
+    return out
+
+
+def _limbs_to_ints(a: np.ndarray):
+    """Inverse of _ints_to_limbs."""
+    d, n, L = a.shape
+    half = 1 << (64 * L - 1)
+    mod = 1 << (64 * L)
+    rows = []
+    for i in range(d):
+        row = []
+        for j in range(n):
+            v = 0
+            for t in range(L - 1, -1, -1):
+                v = (v << 64) | int(a[i, j, t])
+            if v >= half:
+                v -= mod
+            row.append(v)
+        rows.append(row)
+    return rows
+
+
+def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51):
+    """Run the native fast LLL on an IntMat in place.
+
+    Returns the RED_* status, or None when the native core is
+    unavailable/inapplicable (caller falls back to the Python engine).
+    Status 13 (limb overflow) also means "retry in Python".
+    """
+    lib = get_lll_lib()
+    if lib is None:
+        return None
+    d, n = b.nrows, b.ncols
+    if d < 2 or d > 500 or n > 4000:
+        return None
+    maxbits = b.get_max_exp()
+    L = max(2, (maxbits + 130) // 64 + 2)
+    if L > 480:
+        return None
+    blimbs = _ints_to_limbs(b.a, L)
+    ulimbs = None
+    if u is not None:
+        ulimbs = _ints_to_limbs(u.a, L)
+    n_swaps = ctypes.c_long(0)
+    status = lib.lll_fast(
+        d, n, L, blimbs,
+        ulimbs.ctypes.data_as(ctypes.c_void_p) if ulimbs is not None else None,
+        float(delta), float(eta), ctypes.byref(n_swaps))
+    if status in (0,):
+        new_rows = _limbs_to_ints(blimbs)
+        for i in range(d):
+            for j in range(n):
+                b.a[i, j] = new_rows[i][j]
+        if u is not None and ulimbs is not None:
+            new_u = _limbs_to_ints(ulimbs)
+            for i in range(d):
+                for j in range(u.ncols):
+                    u.a[i, j] = new_u[i][j]
+        return 0
+    if status in (2, 3, 4, 13):
+        # partial progress is still valid basis state; copy back so the
+        # python escalation continues from it (wrapper semantics)
+        new_rows = _limbs_to_ints(blimbs)
+        for i in range(d):
+            for j in range(n):
+                b.a[i, j] = new_rows[i][j]
+        if u is not None and ulimbs is not None:
+            new_u = _limbs_to_ints(ulimbs)
+            for i in range(d):
+                for j in range(u.ncols):
+                    u.a[i, j] = new_u[i][j]
+        return int(status)
+    return None
