@@ -116,15 +116,54 @@ class BKZReduction:
                                                 root_det, 1.0)
         return strat.get_pruning(max_dist * 2.0 ** e, gh_max_dist * 2.0 ** e)
 
+    # -- native sub-basis reduction fast path ---------------------------------
+    def _native_sub_reduce(self, end: int, size_red_only: bool) -> int | None:
+        """Run the native fast LLL / size reduction on basis rows [0, end)
+        of the shared GSO, then resynchronize the float state. Returns the
+        native status or None when inapplicable."""
+        import os
+        m = self.m
+        if os.environ.get("FPLLL_TPU_NATIVE_LLL", "1") != "1":
+            return None
+        if not isinstance(m, MatGSO) or m.enable_transform or \
+                m.enable_int_gram or type(m.ctx).__name__ != "F64Ctx":
+            return None
+        from ..native import native_lll_fast
+        from ..ops.intmat import IntMat
+        sub = IntMat(data=m.b.a[:end])  # view: native writes through
+        st = native_lll_fast(sub, None, self.lll_obj.delta,
+                             self.lll_obj.eta, size_red_only=size_red_only)
+        if st is None:
+            return None
+        # resync: every row's GSO state may reference the changed prefix
+        for i in range(m.d):
+            m.invalidate_gso_row(i, 0)
+        for i in range(end):
+            m.update_bf(i)
+            m.invalidate_gram_row(i)
+        for i in range(end):
+            m.update_gso_row(i)
+        return st
+
     # -- preprocessing (bkz.cpp:100-126) -------------------------------------
     def svp_preprocessing(self, kappa: int, block_size: int,
                           param: BKZParam) -> bool:
         clean = True
         lll_start = kappa if (param.flags & BKZ_BOUNDED_LLL) else 0
-        if not self.lll_obj.lll(lll_start, lll_start, kappa + block_size, 0):
-            raise RuntimeError(get_red_status_str(self.lll_obj.status))
-        if self.lll_obj.n_swaps > 0:
-            clean = False
+        native_st = None
+        if lll_start == 0:
+            native_st = self._native_sub_reduce(kappa + block_size,
+                                                size_red_only=False)
+        if native_st == 0:
+            from ..native import native_lll_fast
+            if getattr(native_lll_fast, "last_n_swaps", 1) > 0:
+                clean = False
+        else:
+            if not self.lll_obj.lll(lll_start, lll_start,
+                                    kappa + block_size, 0):
+                raise RuntimeError(get_red_status_str(self.lll_obj.status))
+            if self.lll_obj.n_swaps > 0:
+                clean = False
         for bs in param.strategies[block_size].preprocessing_block_sizes:
             prepar = BKZParam(int(bs), param.strategies, LLL_DEF_DELTA,
                               BKZ_GH_BND)
@@ -208,8 +247,9 @@ class BKZReduction:
     def svp_reduction(self, kappa: int, block_size: int, par: BKZParam,
                       dual: bool = False) -> bool:
         first = kappa + block_size - 1 if dual else kappa
-        if not self.lll_obj.size_reduction(0, first + 1, 0):
-            raise RuntimeError(get_red_status_str(self.lll_obj.status))
+        if self._native_sub_reduce(first + 1, size_red_only=True) != 0:
+            if not self.lll_obj.size_reduction(0, first + 1, 0):
+                raise RuntimeError(get_red_status_str(self.lll_obj.status))
         ctx = self.m.ctx
         v, old_first_expo = self.m.get_r_exp(first, first)
         old_first = ctx.to_float(v)
@@ -255,8 +295,9 @@ class BKZReduction:
                 rerandomize = True
             remaining_probability *= (1.0 - pruning.expectation)
 
-        if not self.lll_obj.size_reduction(0, first + 1, 0):
-            raise RuntimeError(get_red_status_str(self.lll_obj.status))
+        if self._native_sub_reduce(first + 1, size_red_only=True) != 0:
+            if not self.lll_obj.size_reduction(0, first + 1, 0):
+                raise RuntimeError(get_red_status_str(self.lll_obj.status))
         v, new_first_expo = self.m.get_r_exp(first, first)
         new_first = ctx.to_float(v) * 2.0 ** (new_first_expo - old_first_expo)
         return (old_first >= new_first) if dual else (old_first <= new_first)

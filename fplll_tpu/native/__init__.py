@@ -148,6 +148,7 @@ def _build_lll() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
         ctypes.c_void_p,
         ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_long),
     ]
     return lib
@@ -207,7 +208,8 @@ def _limbs_to_ints(a: np.ndarray):
     return rows
 
 
-def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51):
+def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
+                    kappa_end: int = -1, size_red_only: bool = False):
     """Run the native fast LLL on an IntMat in place.
 
     Returns the RED_* status, or None when the native core is
@@ -232,7 +234,9 @@ def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51):
     status = lib.lll_fast(
         d, n, L, blimbs,
         ulimbs.ctypes.data_as(ctypes.c_void_p) if ulimbs is not None else None,
-        float(delta), float(eta), ctypes.byref(n_swaps))
+        float(delta), float(eta), int(kappa_end), int(size_red_only),
+        ctypes.byref(n_swaps))
+    native_lll_fast.last_n_swaps = int(n_swaps.value)
     if status in (0,):
         new_rows = _limbs_to_ints(blimbs)
         for i in range(d):

@@ -341,10 +341,15 @@ static void move_row(lll_state *S, int old_r, int new_r, double *dtmp,
   }
 }
 
-/* exported: returns RED_* status; OVERFLOW_FAILURE means "retry in python" */
+/* exported: returns RED_* status; OVERFLOW_FAILURE means "retry in python".
+   kappa_end <= d bounds the reduced prefix (rows beyond stay untouched);
+   size_red_only runs only the lazy size reduction (LLL size_reduction
+   semantics, lll.h:96-107) without Lovasz swaps. */
 int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
-             double delta, double eta, long *n_swaps_out) {
+             double delta, double eta, int kappa_end, int size_red_only,
+             long *n_swaps_out) {
   if (d < 1 || d > MAXD || n > 4096 || L > MAXD) return OVERFLOW_FAILURE;
+  if (kappa_end <= 0 || kappa_end > d) kappa_end = d;
   lll_state S;
   memset(&S, 0, sizeof(S));
   S.d = d; S.n = n; S.L = L;
@@ -366,12 +371,19 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
   for (int i = 0; i < (int)((size_t)d * d); i++) S.gf[i] = NAN;
   S.n_known_rows = 0;
 
+  if (size_red_only) {
+    for (int k = 0; k < kappa_end; k++) {
+      if (k > 0 && !babai(&S, k, &status)) goto done;
+      if (!update_gso_row(&S, k, k)) { status = RED_GSO_FAILURE; goto done; }
+    }
+    goto done;
+  }
   {
     int kappa = 1, kappa_max = 0;
     if (!update_gso_row(&S, 0, 0)) { status = RED_GSO_FAILURE; goto done; }
     double lovasz[MAXD + 1];
     long iter = 0, max_iter = (long)d * d * 4000L + 100000L;
-    while (kappa < d && iter++ < max_iter) {
+    while (kappa < kappa_end && iter++ < max_iter) {
       if (kappa > kappa_max) kappa_max = kappa;
       if (!babai(&S, kappa, &status)) goto done;
       if (!update_gso_row(&S, kappa, kappa)) { status = RED_GSO_FAILURE; goto done; }
@@ -402,7 +414,7 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
       if (S.valid[kappa] == kappa) S.valid[kappa] = kappa + 1;
       kappa++;
     }
-    if (kappa < d) status = RED_LLL_FAILURE;
+    if (kappa < kappa_end) status = RED_LLL_FAILURE;
   }
 
 done:
