@@ -57,187 +57,247 @@ def _sweep(mut, rdiag, prune, state, m: int, is_svp: bool, count_mode: bool,
     return state
 
 
-class ShardedEnumerator:
-    """Host driver: shards lanes over the mesh and iterates sweeps.
+def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
+              m: int, is_svp: bool, count_mode: bool, sync_steps: int,
+              max_rounds: int, batch: int):
+    """Whole sharded enumeration in ONE launch: every device advances its
+    lanes for sync_steps, then the shrinking radius is pmin-exchanged over
+    ICI and a psum'd work flag decides termination — the collective
+    schedule is identical on every shard, so the while_loop stays uniform.
+    Runs under shard_map with roots_x/roots_pd/lane state sharded on the
+    "enum" axis and mut/rdiag replicated."""
+    from ..enum.tpu import _make_step, _cround
 
-    batch_per_device lanes per device; roots are generated once on the
-    host (same layered expansion as the single-chip driver) and dealt
-    round-robin to device shards.
-    """
+    B = batch
+    R = roots_x.shape[0]
+    nfix = roots_x.shape[1]
+    dtype = mut.dtype
+    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode)
+
+    def make_fresh(rx, rpd):
+        cs = cp0[None, :] - (rx @ mut_fix.T if nfix else 0.0)
+        cs = jnp.broadcast_to(cs, (B, m)).astype(dtype)
+        k0 = m - 1
+        c0 = cs[:, k0]
+        x0 = _cround(c0)
+        if is_svp:
+            x0 = jnp.where(rpd == 0.0, jnp.maximum(x0, 0.0), x0)
+        d0 = jnp.where(c0 >= x0, 1.0, -1.0).astype(dtype)
+        x = jnp.zeros((B, m), dtype).at[:, k0].set(x0)
+        dx = jnp.ones((B, m), dtype).at[:, k0].set(d0)
+        ddx = jnp.ones((B, m), dtype).at[:, k0].set(d0)
+        center = jnp.zeros((B, m), dtype).at[:, k0].set(c0)
+        partdist = jnp.zeros((B, m + 1), dtype).at[:, k0].set(rpd)
+        return x, dx, ddx, center, partdist, cs
+
+    idx0 = jnp.arange(B)
+    rx0 = roots_x[jnp.clip(idx0, 0, R - 1)]
+    rpd0 = roots_pd[jnp.clip(idx0, 0, R - 1)]
+    live0 = (idx0 < R) & jnp.isfinite(rpd0) & (rpd0 <= A0)
+    x, dx, ddx, center, partdist, cs = make_fresh(
+        rx0, jnp.where(live0, rpd0, 0.0).astype(dtype))
+    st = {
+        "x": x, "dx": dx, "ddx": ddx, "center": center,
+        "partdist": partdist, "cs": cs,
+        "k": jnp.full((B,), m - 1, dtype=jnp.int32),
+        "active": live0,
+        "lane_root": rx0.astype(dtype),
+        "A": jnp.asarray(A0, dtype=dtype),
+        "best_dist": jnp.full((B,), jnp.inf, dtype=dtype),
+        "best_dev": jnp.zeros((B, m), dtype=dtype),
+        "best_root": jnp.zeros((B, nfix), dtype=dtype),
+        "sol_count": jnp.zeros((B,), dtype=jnp.float64),
+        "nodes": jnp.zeros((m,), dtype=jnp.float64),
+        "cursor": jnp.asarray(B, dtype=jnp.int32),
+        "rounds": jnp.asarray(0, dtype=jnp.int32),
+        "work": jnp.asarray(True),
+    }
+
+    def local_step(_, s):
+        lane_root = s["lane_root"]
+        cursor = s["cursor"]
+        best_root_prev = s["best_root"]
+        out = step(s)
+        better = out.pop("better")
+        out["best_root"] = jnp.where(better[:, None], lane_root,
+                                     best_root_prev) if nfix \
+            else best_root_prev
+        out["lane_root"] = lane_root
+        out["cursor"] = cursor
+        out["rounds"] = s["rounds"]
+        out["work"] = s["work"]
+
+        need = ~out["active"] & (out["cursor"] < R)
+
+        def do_refill(t):
+            needv = ~t["active"]
+            rank = jnp.cumsum(needv.astype(jnp.int32)) - 1
+            ridx = t["cursor"] + rank
+            can = needv & (ridx < R)
+            ridx_c = jnp.clip(ridx, 0, R - 1)
+            rx = roots_x[ridx_c].astype(dtype)
+            rpd = roots_pd[ridx_c].astype(dtype)
+            live = can & jnp.isfinite(rpd) & (rpd <= t["A"])
+            fx, fdx, fddx, fcenter, fpartdist, fcs = make_fresh(
+                rx, jnp.where(live, rpd, 0.0))
+            sel = can[:, None]
+            t = dict(t)
+            t["x"] = jnp.where(sel, fx, t["x"])
+            t["dx"] = jnp.where(sel, fdx, t["dx"])
+            t["ddx"] = jnp.where(sel, fddx, t["ddx"])
+            t["center"] = jnp.where(sel, fcenter, t["center"])
+            t["cs"] = jnp.where(sel, fcs, t["cs"])
+            t["partdist"] = jnp.where(can[:, None], fpartdist, t["partdist"])
+            t["k"] = jnp.where(can, jnp.int32(m - 1), t["k"])
+            t["active"] = jnp.where(can, live, t["active"])
+            if nfix:
+                t["lane_root"] = jnp.where(sel, rx, t["lane_root"])
+            t["cursor"] = jnp.minimum(
+                t["cursor"] + jnp.sum(needv, dtype=jnp.int32),
+                jnp.asarray(R, dtype=jnp.int32))
+            return t
+
+        return jax.lax.cond(jnp.any(need), do_refill, lambda t: t, out)
+
+    def body(s):
+        s = jax.lax.fori_loop(0, sync_steps, local_step, s)
+        if not count_mode:
+            # ICI exchange of the tightest radius found anywhere
+            s["A"] = jax.lax.pmin(jnp.minimum(s["A"], jnp.min(
+                jnp.where(jnp.isfinite(s["best_dist"]), s["best_dist"],
+                          jnp.inf)).astype(s["A"].dtype)), "enum")
+        local_work = jnp.any(s["active"]) | (s["cursor"] < R)
+        s["work"] = jax.lax.psum(local_work.astype(jnp.int32), "enum") > 0
+        s["rounds"] = s["rounds"] + 1
+        return s
+
+    def cond(s):
+        return s["work"] & (s["rounds"] < max_rounds)
+
+    return jax.lax.while_loop(cond, body, st)
+
+
+class ShardedEnumerator:
+    """Multi-device enumeration driver: ONE launch for the whole search.
+
+    Subtree roots are dealt round-robin across the mesh (sharded on the
+    "enum" axis), every device runs the lockstep DFS with its own
+    on-device refill queue, and the shrinking radius is pmin-exchanged
+    over ICI every sync_steps (the distributed replacement of enumlib's
+    atomic bound, SURVEY §5)."""
 
     def __init__(self, mesh: Mesh, batch_per_device: int = 512,
-                 steps_per_sweep: int = 20000,
+                 steps_per_sweep: int = 2048,
                  max_device_levels: int = 64):
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         self.batch_per_device = batch_per_device
-        self.steps_per_sweep = steps_per_sweep
+        self.sync_steps = steps_per_sweep
         self.max_device_levels = max_device_levels
         self.nodes = np.zeros(0, dtype=np.int64)
 
     def enumerate(self, mut: np.ndarray, rdiag: np.ndarray,
                   prune: Optional[np.ndarray], cp0: np.ndarray,
-                  maxdist: float, is_svp: bool, evaluator: Evaluator,
-                  count_mode: bool = False) -> Tuple[float, np.ndarray]:
+                  maxdist: float, is_svp: bool, evaluator,
+                  count_mode: bool = False):
         from ..enum.tpu import TPUEnumerator
 
         d = len(rdiag)
         self.nodes = np.zeros(d, dtype=np.int64)
+        mut = np.asarray(mut, dtype=np.float64)
+        rdiag = np.asarray(rdiag, dtype=np.float64)
         prune_arr = (np.ones(d) if prune is None or len(prune) == 0
                      else np.asarray(prune, dtype=np.float64))
+        cp0 = np.asarray(cp0, dtype=np.float64)
         helper = TPUEnumerator(batch=self.batch_per_device * self.n_dev,
                                max_device_levels=self.max_device_levels)
         helper.nodes = self.nodes
         roots_x, roots_pd, m_real = helper._gen_roots(
-            np.asarray(mut, dtype=np.float64),
-            np.asarray(rdiag, dtype=np.float64), prune_arr,
-            np.asarray(cp0, dtype=np.float64), float(maxdist), d, is_svp)
+            mut, rdiag, prune_arr, cp0, float(maxdist), d, is_svp)
         order = np.argsort(roots_pd)
         roots_x, roots_pd = roots_x[order], roots_pd[order]
+        nfix = d - m_real
 
         m = min(((m_real + 7) // 8) * 8, self.max_device_levels)
-        nfix = d - m_real
         mut_pad = np.zeros((m, m))
         mut_pad[:m_real, :m_real] = mut[:m_real, :m_real]
         rdiag_pad = np.full(m, 1e300)
         rdiag_pad[:m_real] = rdiag[:m_real]
         prune_pad = np.ones(m)
         prune_pad[:m_real] = prune_arr[:m_real]
+        cp0_pad = np.zeros(m)
+        cp0_pad[:m_real] = cp0[:m_real]
+        nfix_pad = 0
+        while nfix_pad < nfix:
+            nfix_pad = 8 if nfix_pad == 0 else nfix_pad * 2
+        mut_fix_pad = np.zeros((m, nfix_pad))
+        if nfix:
+            mut_fix_pad[:m_real, :nfix] = mut[:m_real, m_real:d]
 
-        Bd = self.batch_per_device
-        B = Bd * self.n_dev
-        A = float(maxdist)
+        # deal roots round-robin so cheap roots spread over shards
+        R = len(roots_pd)
+        R_per = 1024
+        while R_per * self.n_dev < R:
+            R_per *= 2
+        rx_sh = np.zeros((self.n_dev, R_per, nfix_pad))
+        rpd_sh = np.full((self.n_dev, R_per), np.inf)
+        for dev in range(self.n_dev):
+            sel_x = roots_x[dev::self.n_dev]
+            sel_p = roots_pd[dev::self.n_dev]
+            rx_sh[dev, :len(sel_p), :nfix] = sel_x
+            rpd_sh[dev, :len(sel_p)] = sel_p
+        rx_flat = rx_sh.reshape(self.n_dev * R_per, nfix_pad)
+        rpd_flat = rpd_sh.reshape(self.n_dev * R_per)
 
-        sweep = shard_map(
-            partial(_sweep, m=m, is_svp=bool(is_svp),
-                    count_mode=bool(count_mode),
-                    max_steps=self.steps_per_sweep),
-            mesh=self.mesh,
-            in_specs=(P(), P(), P(),
-                      {"x": P("enum"), "dx": P("enum"), "ddx": P("enum"),
-                       "center": P("enum"), "partdist": P("enum"),
-                       "cs": P("enum"), "k": P("enum"), "active": P("enum"),
-                       "A": P(), "best_dist": P("enum"),
-                       "best_dev": P("enum"), "sol_count": P("enum"),
-                       "nodes": P(), "steps": P()}),
-            out_specs={"x": P("enum"), "dx": P("enum"), "ddx": P("enum"),
-                       "center": P("enum"), "partdist": P("enum"),
-                       "cs": P("enum"), "k": P("enum"), "active": P("enum"),
-                       "A": P(), "best_dist": P("enum"), "best_dev": P("enum"),
-                       "sol_count": P("enum"), "nodes": P(), "steps": P()},
+        B = self.batch_per_device
+        A0 = float(maxdist)
+
+        def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, rpd_a,
+                     A_a):
+            out = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
+                            rx_a, rpd_a, A_a, m=m, is_svp=bool(is_svp),
+                            count_mode=bool(count_mode),
+                            sync_steps=self.sync_steps,
+                            max_rounds=1 << 22, batch=B)
+            out["cursor"] = out["cursor"][None]
+            out["rounds"] = out["rounds"][None]
+            out["work"] = out["work"][None]
+            out["nodes"] = out["nodes"][None]
+            return out
+
+        lane = P("enum")
+        run = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), lane, lane, P()),
+            out_specs={"x": lane, "dx": lane, "ddx": lane, "center": lane,
+                       "partdist": lane, "cs": lane, "k": lane,
+                       "active": lane, "lane_root": lane, "A": P(),
+                       "best_dist": lane, "best_dev": lane,
+                       "best_root": lane, "sol_count": lane, "nodes": lane,
+                       "cursor": lane, "rounds": lane, "work": lane},
             check_vma=False)
 
-        from fplll_tpu.enum.cpu import _roundf
-        best_overall = []
-        total_sols = 0
-        qpos = 0
-        R_total = len(roots_pd)
-        lane_roots = np.zeros((B, nfix))
+        with self.mesh:
+            out = run(jnp.asarray(mut_pad), jnp.asarray(rdiag_pad),
+                      jnp.asarray(prune_pad), jnp.asarray(mut_fix_pad),
+                      jnp.asarray(cp0_pad), jnp.asarray(rx_flat),
+                      jnp.asarray(rpd_flat),
+                      jnp.asarray(A0, dtype=jnp.float64))
 
-        def make_np_state(xs_b, pd_b, live):
-            R = xs_b.shape[0]
-            cs = np.zeros((R, m))
-            cs[:, :m_real] = cp0[:m_real][None, :] - \
-                (xs_b @ mut[:m_real, m_real:d].T if nfix else 0.0)
-            x = np.zeros((R, m))
-            center = np.zeros((R, m))
-            dxa = np.ones((R, m))
-            ddxa = np.ones((R, m))
-            partdist = np.zeros((R, m + 1))
-            k0 = m - 1
-            center[:, k0] = cs[:, k0]
-            xr = np.vectorize(_roundf, otypes=[np.float64])(center[:, k0])
-            zerop = live & (pd_b == 0) & is_svp
-            x[:, k0] = np.where(zerop, np.maximum(xr, 0.0), xr)
-            dxa[:, k0] = ddxa[:, k0] = np.where(center[:, k0] >= x[:, k0],
-                                                1.0, -1.0)
-            partdist[:, k0] = pd_b
-            return {"x": x, "dx": dxa, "ddx": ddxa, "center": center,
-                    "partdist": partdist, "cs": cs,
-                    "k": np.full(R, k0, dtype=np.int32),
-                    "active": live.copy(),
-                    "best_dist": np.full(R, np.inf),
-                    "best_dev": np.zeros((R, m)),
-                    "sol_count": np.zeros(R, dtype=np.float64)}
-
-        state_np = None
-        while True:
-            if state_np is None:
-                take = min(B, R_total - qpos)
-                if take <= 0:
-                    break
-                xs_b = np.zeros((B, nfix))
-                pd_b = np.zeros(B)
-                live = np.zeros(B, dtype=bool)
-                sel = slice(qpos, qpos + take)
-                ok = roots_pd[sel] <= A
-                xs_b[:take][ok] = roots_x[sel][ok]
-                pd_b[:take][ok] = roots_pd[sel][ok]
-                live[:take] = ok
-                qpos += take
-                lane_roots = xs_b
-                state_np = make_np_state(xs_b, pd_b, live)
-            else:
-                active = state_np["active"]
-                done = ~active
-                bd = state_np["best_dist"]
-                for i in np.where(done & np.isfinite(bd))[0]:
-                    best_overall.append(
-                        (float(bd[i]),
-                         np.concatenate([state_np["best_dev"][i][:m_real],
-                                         lane_roots[i]])))
-                    state_np["best_dist"][i] = np.inf
-                if not count_mode and best_overall:
-                    A = min(A, min(t[0] for t in best_overall))
-                n_active = int(active.sum())
-                if n_active == 0 and qpos >= R_total:
-                    break
-                nfree = B - n_active
-                if nfree and qpos < R_total:
-                    chunk = slice(qpos, min(qpos + nfree, R_total))
-                    ok = roots_pd[chunk] <= A
-                    xs_f = roots_x[chunk][ok][:nfree]
-                    pd_f = roots_pd[chunk][ok][:nfree]
-                    qpos += chunk.stop - chunk.start
-                    if len(pd_f):
-                        fresh = make_np_state(xs_f, pd_f,
-                                              np.ones(len(pd_f), dtype=bool))
-                        slots = np.where(done)[0][:len(pd_f)]
-                        for key in fresh:
-                            state_np[key][slots] = fresh[key]
-                        lane_roots[slots] = xs_f
-                elif n_active == 0:
-                    break
-
-            state = {k: jnp.asarray(v) for k, v in state_np.items()}
-            state["A"] = jnp.asarray(A, dtype=jnp.float64)
-            state["nodes"] = jnp.zeros((m,), dtype=jnp.float64)
-            state["steps"] = jnp.asarray(0, dtype=jnp.int32)
-            with self.mesh:
-                state = sweep(jnp.asarray(mut_pad), jnp.asarray(rdiag_pad),
-                              jnp.asarray(prune_pad), state)
-            state_np = {k: np.array(v) for k, v in state.items()}
-            self.nodes[:m] += state_np.pop("nodes").astype(np.int64)
-            total_sols += int(state_np.pop("sol_count").sum())
-            state_np["sol_count"] = np.zeros(B, dtype=np.float64)
-            A = min(A, float(state_np.pop("A")))
-            state_np.pop("steps")
-            livebd = np.isfinite(state_np["best_dist"])
-            if livebd.any() and not count_mode:
-                A = min(A, float(state_np["best_dist"][livebd].min()))
-
-        if state_np is not None:
-            bd = state_np["best_dist"]
-            for i in np.where(np.isfinite(bd))[0]:
-                best_overall.append(
-                    (float(bd[i]),
-                     np.concatenate([state_np["best_dev"][i][:m_real],
-                                     lane_roots[i]])))
-
+        self.nodes[:m] += np.asarray(out["nodes"]).reshape(
+            self.n_dev, m).sum(axis=0).astype(np.int64)
+        bd = np.array(out["best_dist"])
+        bdev = np.array(out["best_dev"])
+        broot = np.array(out["best_root"])
+        found = np.isfinite(bd)
+        best_overall = [
+            (float(bd[i]),
+             np.concatenate([bdev[i][:m_real], broot[i][:nfix]]))
+            for i in np.where(found)[0]]
         best_overall.sort(key=lambda t: t[0])
         maxdist_out = maxdist
         if count_mode:
-            evaluator.sol_count += total_sols
+            evaluator.sol_count += int(np.asarray(out["sol_count"]).sum())
             return maxdist_out, self.nodes
         for dist, full in best_overall[:max(evaluator.max_sols * 4, 8)]:
             maxdist_out = evaluator.eval_sol(list(full), dist, maxdist_out)
