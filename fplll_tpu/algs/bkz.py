@@ -151,7 +151,7 @@ class BKZReduction:
         clean = True
         lll_start = kappa if (param.flags & BKZ_BOUNDED_LLL) else 0
         native_st = None
-        if lll_start == 0:
+        if lll_start == 0 and block_size >= 24:
             native_st = self._native_sub_reduce(kappa + block_size,
                                                 size_red_only=False)
         if native_st == 0:
@@ -247,9 +247,8 @@ class BKZReduction:
     def svp_reduction(self, kappa: int, block_size: int, par: BKZParam,
                       dual: bool = False) -> bool:
         first = kappa + block_size - 1 if dual else kappa
-        if self._native_sub_reduce(first + 1, size_red_only=True) != 0:
-            if not self.lll_obj.size_reduction(0, first + 1, 0):
-                raise RuntimeError(get_red_status_str(self.lll_obj.status))
+        if not self.lll_obj.size_reduction(0, first + 1, 0):
+            raise RuntimeError(get_red_status_str(self.lll_obj.status))
         ctx = self.m.ctx
         v, old_first_expo = self.m.get_r_exp(first, first)
         old_first = ctx.to_float(v)
@@ -295,9 +294,8 @@ class BKZReduction:
                 rerandomize = True
             remaining_probability *= (1.0 - pruning.expectation)
 
-        if self._native_sub_reduce(first + 1, size_red_only=True) != 0:
-            if not self.lll_obj.size_reduction(0, first + 1, 0):
-                raise RuntimeError(get_red_status_str(self.lll_obj.status))
+        if not self.lll_obj.size_reduction(0, first + 1, 0):
+            raise RuntimeError(get_red_status_str(self.lll_obj.status))
         v, new_first_expo = self.m.get_r_exp(first, first)
         new_first = ctx.to_float(v) * 2.0 ** (new_first_expo - old_first_expo)
         return (old_first >= new_first) if dual else (old_first <= new_first)
