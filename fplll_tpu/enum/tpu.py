@@ -470,6 +470,13 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         return None
     if evaluator.findsubsols:
         return None  # subsolution capture stays on the host oracle for now
+    count_mode_req = getattr(evaluator, "eval_mode", 0) == 1
+    if not count_mode_req and (evaluator.max_sols > 32 or
+                               evaluator.strategy ==
+                               EVALSTRATEGY_FIRST_N_SOLUTIONS):
+        # the kernel keeps one best per lane; large solution lists and
+        # first-N semantics need the host oracle's exact bookkeeping
+        return None
 
     from .cpu import EnumerationDyn  # local import to avoid cycles
 
