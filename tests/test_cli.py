@@ -47,10 +47,14 @@ def test_lll_output_formats(basis):
 
 
 def test_lll_methods_and_floats(basis):
-    for extra in (["-m", "fast"], ["-m", "proved"], ["-f", "dpe"],
+    for extra in (["-m", "fast"], ["-m", "proved"], ["-m", "heuristic", "-f", "dpe"],
                   ["-m", "proved", "-p", "80"]):
         r = run("main", ["-a", "lll"] + extra, basis)
         assert r.returncode == 0, (extra, r.stderr)
+    # reference parity: the wrapper method rejects an explicit float type
+    # (wrapper.cpp:567-569 FPLLL_CHECK float_type == FT_DEFAULT)
+    r = run("main", ["-a", "lll", "-f", "dpe"], basis)
+    assert r.returncode != 0
 
 
 def test_delta_eta_flags(basis):
