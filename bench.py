@@ -87,14 +87,17 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
                  (mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
                   rx_pad, rpd_pad)) + (jnp.asarray(radius, dtype),)
     kw = dict(m=m, is_svp=True, count_mode=True, batch=batch)
-    # warm-up compiles the kernel
-    state = _enum_run(*args, max_steps=64, **kw)
-    jax.block_until_ready(state["nodes"])
+    # Warm-up executes the EXACT timed executable once (same static args):
+    # on the axon tunnel, block_until_ready returns prematurely for the
+    # first run of a fresh executable, so timing must cover a repeat run
+    # and sync through a real host transfer (np.asarray), not
+    # block_until_ready.
+    state = _enum_run(*args, max_steps=max_steps, **kw)
+    np.asarray(state["nodes"])
     t0 = time.time()
     state = _enum_run(*args, max_steps=max_steps, **kw)
-    jax.block_until_ready(state["nodes"])
-    dt = time.time() - t0
     nodes = float(np.asarray(state["nodes"]).sum())
+    dt = time.time() - t0
     return nodes, dt, int(state["steps"])
 
 
