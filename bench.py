@@ -83,19 +83,30 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
     rx_pad[:len(roots_pd), :nfix] = roots_x
     rpd_pad[:len(roots_pd)] = roots_pd
 
-    args = tuple(jnp.asarray(a, dtype) for a in
-                 (mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
-                  rx_pad, rpd_pad)) + (jnp.asarray(radius, dtype),)
     kw = dict(m=m, is_svp=True, count_mode=True, batch=batch)
+    from fplll_tpu.enum.pallas_kernel import (pallas_available,
+                                              _enum_run_pallas)
+    if dtype == jnp.float32 and pallas_available():
+        def run():
+            return _enum_run_pallas(mut_pad, rdiag_pad, prune_pad,
+                                    mut_fix_pad, cp0_pad, rx_pad, rpd_pad,
+                                    radius, max_steps=max_steps, **kw)
+    else:
+        args = tuple(jnp.asarray(a, dtype) for a in
+                     (mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
+                      rx_pad, rpd_pad)) + (jnp.asarray(radius, dtype),)
+
+        def run():
+            return _enum_run(*args, max_steps=max_steps, **kw)
     # Warm-up executes the EXACT timed executable once (same static args):
     # on the axon tunnel, block_until_ready returns prematurely for the
     # first run of a fresh executable, so timing must cover a repeat run
     # and sync through a real host transfer (np.asarray), not
     # block_until_ready.
-    state = _enum_run(*args, max_steps=max_steps, **kw)
+    state = run()
     np.asarray(state["nodes"])
     t0 = time.time()
-    state = _enum_run(*args, max_steps=max_steps, **kw)
+    state = run()
     nodes = float(np.asarray(state["nodes"]).sum())
     dt = time.time() - t0
     return nodes, dt, int(state["steps"])

@@ -1,0 +1,460 @@
+"""Pallas enumeration kernel: VMEM-resident, register-tracked lockstep DFS.
+
+The XLA while_loop kernel in enum/tpu.py advances one tree node per lane
+per step with every per-lane value gathered from (B, m) state through
+one-hot masks — ~40 full-array VPU passes per step, plus an HBM
+round-trip of the loop carry.  This kernel is the TPU-native redesign:
+
+- **Chunked VMEM residency**: one pl.pallas_call runs CHUNK steps with
+  all state pinned in VMEM, so steady-state cost is pure VPU/MXU work
+  (the ~ms per-launch latency of the device attachment is amortized
+  over thousands of steps).
+- **Transposed SoA layout** ``(m, B)``: lanes ride the 128-wide vector
+  lane axis, tree levels the sublane axis.
+- **Register-tracked DFS head**: the quantities of the *current* level
+  (x, center, partdist, rdiag, prune) are (1, B) registers updated
+  incrementally; (m, B) arrays are touched only on level changes
+  (save on descend, restore on ascend), cutting per-step work to ~15
+  full-array passes + one MXU matmul.
+- **Stateless zig-zag**: the reference keeps dx/ddx arrays for the
+  sibling ordering (enumerate_base.h:145-172); here the next sibling is
+  the reflection x' = 2*round(c) - x (+step toward c's side), a pure
+  function of (x, c), so the dx/ddx state vanishes entirely.
+- **Fused mu-row fetch**: one (m+8, m) x (m, B) MXU matmul per step
+  fetches the mu row of the level being entered/left AND rdiag/prune at
+  the target level (extra operand rows carry rdiag, prune and their
+  shift-by-one), replacing four masked gathers.
+- **Leaf-range processing**: a lane visiting level 1 absorbs the whole
+  level-0 sibling range analytically: count = #integers in [c-w, c+w],
+  w = sqrt((prune_0*A - pd)/r_0), best leaf = nearest integer to c.
+  Endpoints get one direct bound test each so counts stay bit-identical
+  to the stepwise kernel in count mode (the per-leaf test is monotone
+  in |x-c|).
+
+Tree semantics (zig-zag sibling order, SVP symmetry breaking
+`next_pos_up`, per-level pruning bounds, per-level node counters,
+one-best-per-lane capture) match enum/tpu.py and the reference
+(enumerate_base.h:79-172); the host driver there is reused.  f32 only —
+Mosaic has no f64; proved/error-bounded f64 paths stay on the XLA
+kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+from ..jaxsetup import jax, jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_available", "_enum_run_pallas"]
+
+_INTERPRET = os.environ.get("FPLLL_TPU_PALLAS_INTERPRET", "0") == "1"
+_CHUNK = int(os.environ.get("FPLLL_TPU_PALLAS_CHUNK", "2048"))
+_F = jnp.float32
+_I = jnp.int32
+_XR = 8          # extra rows appended to the matmul operand
+
+
+def pallas_available() -> bool:
+    """Pallas path usable: real TPU backend, or interpret mode forced."""
+    if _INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _cround(x):
+    """C round(): halves away from zero, elementwise."""
+    return jnp.trunc(x + jnp.where(x >= 0, jnp.float32(0.5),
+                                   jnp.float32(-0.5)))
+
+
+# state array order (all aliased in/out):
+#   x_arr (m,B)  pd_arr (m,B)  cs (m,B)  bdev (m,B)
+#   k (1,B)i32  act (1,B)i32  xk ck pdk rk prk bdist (1,B)f32
+_N_STATE = 12
+
+
+def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
+                       count_mode: bool):
+    def kernel(Mx_ref, A_ref, *refs):
+        ins = refs[:_N_STATE]
+        (x_o, pd_o, cs_o, bdev_o, k_o, act_o, xk_o, ck_o, pdk_o, rk_o,
+         prk_o, bdist_o) = refs[_N_STATE:2 * _N_STATE]
+        A_o, nodes_o, leaf0_o, leaf1_o, sol_o, steps_o = \
+            refs[2 * _N_STATE:]
+        # aliased HBM buffers still get distinct VMEM windows: seed the
+        # output windows once per chunk
+        for i_ref, o_ref in zip(ins, refs[_N_STATE:2 * _N_STATE]):
+            o_ref[:] = i_ref[:]
+        nodes_o[:] = jnp.zeros((m, B), _F)
+        leaf0_o[:] = jnp.zeros((1, B), _F)
+        leaf1_o[:] = jnp.zeros((1, B), _F)
+        sol_o[:] = jnp.zeros((1, B), _F)
+
+        rows = jax.lax.broadcasted_iota(_I, (m, B), 0)
+        row0 = rows == 0
+        row1 = rows == 1
+        Mx = Mx_ref[:]                      # (m+_XR, m)
+        r0 = Mx_ref[m, 0]
+        pr0 = Mx_ref[m + 1, 0]
+        mu10 = Mx_ref[0, 1]                 # mu[1,0]
+        zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
+        inf = jnp.float32(np.inf)
+
+        def step(carry):
+            i, _, A = carry
+            k = k_o[0, :]
+            act = act_o[0, :] != 0
+            xk = xk_o[0, :]
+            ck = ck_o[0, :]
+            pdk = pdk_o[0, :]
+            rk = rk_o[0, :]
+            prk = prk_o[0, :]
+            bdist = bdist_o[0, :]
+
+            kc = jnp.clip(k, jnp.int32(0), jnp.int32(m - 1))
+            alpha = xk - ck
+            newdist = pdk + alpha * alpha * rk
+            ok = act & (newdist <= prk * A)
+            leafp = kc == 1
+            descend = ok & ~leafp
+            leaf = ok & leafp
+            fail = act & ~ok
+
+            # ---- leaf-range processing (whole level-0 sibling range) ----
+            c0 = cs_o[0, :] - xk * mu10
+            bound0 = pr0 * A
+            room = bound0 - newdist
+            w = jnp.sqrt(jnp.maximum(room, zero) / r0)
+            lo = jnp.ceil(c0 - w)
+            hi = jnp.floor(c0 + w)
+
+            def leaf_ok(xv):
+                a0 = xv - c0
+                return newdist + a0 * a0 * r0 <= bound0
+
+            # one endpoint correction each way keeps f32 counts identical
+            # to the stepwise per-node bound test
+            hi = hi + jnp.where(leaf_ok(hi + one), one, zero)
+            hi = hi - jnp.where(~leaf_ok(hi), one, zero)
+            lo = lo - jnp.where(leaf_ok(lo - one), one, zero)
+            lo = lo + jnp.where(~leaf_ok(lo), one, zero)
+            if is_svp:
+                trivial = newdist == zero
+                lo = jnp.where(trivial, jnp.maximum(lo, zero), lo)
+            cnt = jnp.maximum(hi - lo + one, zero)
+            cnt = jnp.where(leaf, cnt, zero)
+            if is_svp:
+                solc = jnp.where(trivial, jnp.maximum(cnt - one, zero),
+                                 cnt)
+            else:
+                solc = cnt
+            sol_o[0, :] = sol_o[0, :] + jnp.where(leaf, solc, zero)
+            leaf0_o[0, :] = leaf0_o[0, :] + cnt
+            leaf1_o[0, :] = leaf1_o[0, :] + jnp.where(leaf, one, zero)
+
+            xstar = jnp.clip(_cround(c0), lo, hi)
+            if is_svp:
+                xbest = jnp.where(trivial, one, xstar)
+                have = jnp.where(trivial, hi, cnt) >= one
+            else:
+                xbest = xstar
+                have = cnt > zero
+            ab = xbest - c0
+            dbest = newdist + ab * ab * r0
+            valid = leaf & have
+            better = valid & (dbest < bdist)
+            bdist = jnp.where(better, dbest, bdist)
+            if not count_mode:
+                cand = jnp.where(valid, dbest, inf)
+                # reduce to (1,) then extract: scalar-shaped reductions
+                # proxy-lower through 64-bit temporaries under x64
+                A = jnp.minimum(A, jnp.min(cand[None, :], axis=1)[0])
+
+            n_better = jnp.sum(jnp.where(better, one, zero)[None, :],
+                               axis=1)[0]
+
+            @pl.when(n_better > zero)
+            def _():
+                # full solution = best leaf + current level-1 x + saved
+                # upper path
+                full = jnp.where(row0, xbest[None, :],
+                                 jnp.where(row1, xk[None, :], x_o[:]))
+                bdev_o[:] = jnp.where(better[None, :], full, bdev_o[:])
+
+            # ---- classify moves -----------------------------------------
+            sib = leaf | fail
+            k_sib = jnp.where(fail, kc + 1, kc)
+            lane_done = fail & (k_sib >= m)
+            do_sib = sib & ~lane_done
+            ks = jnp.clip(k_sib, jnp.int32(0), jnp.int32(m - 1))
+            asc = do_sib & fail
+            k_new = jnp.where(descend, kc - 1, jnp.where(do_sib, k_sib, k))
+            k_tgt = jnp.clip(k_new, jnp.int32(0), jnp.int32(m - 1))
+
+            # ---- one fused fetch: mu row + rdiag/prune at the target ----
+            # rows of Mx: [0:m] = mu^T strictly-above-diagonal (so the cs
+            # update needs no triangle mask), m = rdiag, m+1 = prune,
+            # m+2 = rdiag shifted down one, m+3 = prune shifted.
+            sel_k = jnp.where(descend, kc, ks)
+            oh_sel = rows == sel_k[None, :]
+            oh_self = jnp.where(oh_sel, one, zero)
+            col = jax.lax.dot(Mx, oh_self, preferred_element_type=_F)
+            r_sel = col[m, :]
+            p_sel = col[m + 1, :]
+            r_dn = col[m + 2, :]
+            p_dn = col[m + 3, :]
+
+            # ---- restores needed by ascending lanes ---------------------
+            oh_new = rows == k_tgt[None, :]
+            xs = jnp.sum(jnp.where(oh_new, x_o[:], zero), axis=0)
+            pds = jnp.sum(jnp.where(oh_new, pd_o[:], zero), axis=0)
+
+            # ---- cs update (descend subtracts, ascend restores) ---------
+            coeff = jnp.where(descend, -xk, jnp.where(asc, xs, zero))
+            cs_new = cs_o[:] + coeff[None, :] * col[:m, :]
+            cs_o[:] = cs_new
+            c_t = jnp.sum(jnp.where(oh_new, cs_new, zero), axis=0)
+
+            # ---- saves by descending lanes ------------------------------
+            save = oh_sel & descend[None, :]
+            x_o[:] = jnp.where(save, xk[None, :], x_o[:])
+            pd_o[:] = jnp.where(save, pdk[None, :], pd_o[:])
+            nodes_o[:] = nodes_o[:] + jnp.where(save, one, zero)
+
+            # ---- new register state -------------------------------------
+            # descend: fresh level k_tgt with center c_t
+            x_dn = _cround(c_t)
+            if is_svp:
+                x_dn = jnp.where(newdist == zero, jnp.maximum(x_dn, zero),
+                                 x_dn)
+            # sibling (leaf stays at level 1; ascend to ks after restore):
+            # stateless zig-zag around the level's rounded center
+            sib_c = jnp.where(asc, c_t, ck)
+            sib_x = jnp.where(asc, xs, xk)
+            sib_pd = jnp.where(asc, pds, pdk)
+            cr = _cround(sib_c)
+            d0 = jnp.where(sib_c >= cr, one, -one)
+            p = sib_x - cr
+            p_adv = -p + jnp.where(p * d0 <= zero, d0, zero)
+            x_zz = cr + p_adv
+            if is_svp:
+                x_sib = jnp.where(sib_pd == zero, sib_x + one, x_zz)
+            else:
+                x_sib = x_zz
+
+            xk_n = jnp.where(descend, x_dn, jnp.where(do_sib, x_sib, xk))
+            ck_n = jnp.where(descend, c_t, jnp.where(asc, c_t, ck))
+            pdk_n = jnp.where(descend, newdist,
+                              jnp.where(asc, pds, pdk))
+            rk_n = jnp.where(descend, r_dn, jnp.where(asc, r_sel, rk))
+            prk_n = jnp.where(descend, p_dn, jnp.where(asc, p_sel, prk))
+            act_new = act & ~lane_done
+            act_i = jnp.where(act_new, jnp.int32(1), jnp.int32(0))
+
+            k_o[0, :] = k_new
+            act_o[0, :] = act_i
+            xk_o[0, :] = xk_n
+            ck_o[0, :] = ck_n
+            pdk_o[0, :] = pdk_n
+            rk_o[0, :] = rk_n
+            prk_o[0, :] = prk_n
+            bdist_o[0, :] = bdist
+            alive = jnp.sum(act_i[None, :], axis=1, dtype=_I)[0] > 0
+            return (i + jnp.int32(1), alive, A)
+
+        def cond(carry):
+            i, alive, _ = carry
+            return (i < jnp.int32(chunk)) & alive
+
+        i_fin, _, A_fin = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
+        A_o[0, 0] = A_fin
+        steps_o[0, 0] = i_fin
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("m", "B", "chunk", "is_svp",
+                                   "count_mode"))
+def _chunk_call(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk,
+                bdist, m: int, B: int, chunk: int, is_svp: bool,
+                count_mode: bool):
+    kernel = _make_chunk_kernel(m, B, chunk, is_svp, count_mode)
+    smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    mB = jax.ShapeDtypeStruct((m, B), _F)
+    oBf = jax.ShapeDtypeStruct((1, B), _F)
+    oBi = jax.ShapeDtypeStruct((1, B), _I)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[vmem(), smem((1, 1))] + [vmem()] * _N_STATE,
+        out_shape=(mB, mB, mB, mB, oBi, oBi, oBf, oBf, oBf, oBf, oBf,
+                   oBf,
+                   jax.ShapeDtypeStruct((1, 1), _F),    # A
+                   mB,                                   # nodes
+                   oBf, oBf, oBf,                        # leaf0/leaf1/sol
+                   jax.ShapeDtypeStruct((1, 1), _I)),    # steps
+        out_specs=tuple([vmem()] * _N_STATE) + (smem((1, 1)), vmem(),
+                                                vmem(), vmem(), vmem(),
+                                                smem((1, 1))),
+        input_output_aliases={i + 2: i for i in range(_N_STATE)},
+        interpret=_INTERPRET,
+    )(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist)
+
+
+@partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps",
+                                   "batch", "chunk"))
+def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
+                     m: int, is_svp: bool, count_mode: bool, max_steps: int,
+                     batch: int = 4096, chunk: int = _CHUNK):
+    """Drop-in replacement for tpu._enum_run (same contract; f32 only):
+    outer XLA loop alternates VMEM-resident Pallas chunks with root-queue
+    refills of finished lanes.  `mut` follows the driver convention
+    mut = mu^T (extenum contract, enumerate_ext.cpp:67-78)."""
+    B = batch
+    R = roots_x.shape[0]
+    nfix = roots_x.shape[1]
+    mut_f = jnp.asarray(mut, _F)
+    rdiag_f = jnp.asarray(rdiag, _F)
+    prune_f = jnp.asarray(prune, _F)
+    cp0_c = jnp.asarray(cp0, _F).reshape(m, 1)
+    mut_fix_f = jnp.asarray(mut_fix, _F)
+    roots_x_f = jnp.asarray(roots_x, _F)
+    roots_pd_f = jnp.asarray(roots_pd, _F)
+
+    # matmul operand: mu rows (strict upper of mu^T, so fetched columns
+    # are already zero at and above the fetched level) + rdiag/prune and
+    # their shift-down-by-one in extra rows
+    Mx = jnp.zeros((m + _XR, m), _F)
+    Mx = Mx.at[:m, :].set(jnp.triu(mut_f, 1))
+    Mx = Mx.at[m, :].set(rdiag_f)
+    Mx = Mx.at[m + 1, :].set(prune_f)
+    Mx = Mx.at[m + 2, :].set(jnp.concatenate([rdiag_f[:1], rdiag_f[:-1]]))
+    Mx = Mx.at[m + 3, :].set(jnp.concatenate([prune_f[:1], prune_f[:-1]]))
+
+    r_top = rdiag_f[m - 1]
+    p_top = prune_f[m - 1]
+
+    def make_fresh(rx, rpd):
+        """Transposed state from root rows rx (B, nfix), rpd (B,)."""
+        if nfix:
+            cs = cp0_c - jax.lax.dot(mut_fix_f, rx.T,
+                                     preferred_element_type=_F)
+        else:
+            cs = jnp.broadcast_to(cp0_c, (m, B))
+        c0 = cs[m - 1, :]
+        x0 = jnp.trunc(c0 + jnp.where(c0 >= 0, jnp.float32(0.5),
+                                      jnp.float32(-0.5)))
+        if is_svp:
+            x0 = jnp.where(rpd == 0.0, jnp.maximum(x0, 0.0), x0)
+        return cs, x0, c0
+
+    idx0 = jnp.arange(B)
+    rx0 = roots_x_f[jnp.clip(idx0, 0, R - 1)]
+    rpd0 = roots_pd_f[jnp.clip(idx0, 0, R - 1)]
+    live0 = (idx0 < R) & jnp.isfinite(rpd0) & (rpd0 <= A0)
+    rpd0 = jnp.where(live0, rpd0, 0.0).astype(_F)
+    cs0, x0, c0 = make_fresh(rx0, rpd0)
+    st = {
+        "x": jnp.zeros((m, B), _F),
+        "pd": jnp.zeros((m, B), _F),
+        "cs": cs0,
+        "bdev": jnp.zeros((m, B), _F),
+        "k": jnp.full((1, B), m - 1, dtype=_I),
+        "act": live0.astype(_I).reshape(1, B),
+        "xk": x0.reshape(1, B),
+        "ck": c0.reshape(1, B),
+        "pdk": rpd0.reshape(1, B),
+        "rk": jnp.full((1, B), r_top, _F),
+        "prk": jnp.full((1, B), p_top, _F),
+        "bdist": jnp.full((1, B), jnp.inf, dtype=_F),
+        "A": jnp.asarray(A0, _F).reshape(1, 1),
+        "lane_root": rx0,
+        "best_root": jnp.zeros((B, nfix), _F),
+        "cursor": jnp.asarray(B, dtype=_I),
+        "steps": jnp.asarray(0, dtype=jnp.int64),
+        "nodes": jnp.zeros((m,), dtype=jnp.float64),
+        "sol_count": jnp.zeros((), dtype=jnp.float64),
+    }
+
+    def do_refill(s):
+        needv = (s["act"][0, :] == 0)
+        rank = jnp.cumsum(needv.astype(_I)) - 1
+        ridx = s["cursor"] + rank
+        can = needv & (ridx < R)
+        ridx_c = jnp.clip(ridx, 0, R - 1)
+        rx = roots_x_f[ridx_c]
+        rpd = roots_pd_f[ridx_c]
+        live = can & jnp.isfinite(rpd) & (rpd <= s["A"][0, 0])
+        rpd = jnp.where(live, rpd, 0.0).astype(_F)
+        fcs, fx0, fc0 = make_fresh(rx, rpd)
+        sel = can[None, :]
+        s = dict(s)
+        s["cs"] = jnp.where(sel, fcs, s["cs"])
+        s["k"] = jnp.where(sel, jnp.int32(m - 1), s["k"])
+        s["act"] = jnp.where(sel, live[None, :].astype(_I), s["act"])
+        s["xk"] = jnp.where(sel, fx0[None, :], s["xk"])
+        s["ck"] = jnp.where(sel, fc0[None, :], s["ck"])
+        s["pdk"] = jnp.where(sel, rpd[None, :], s["pdk"])
+        s["rk"] = jnp.where(sel, r_top, s["rk"])
+        s["prk"] = jnp.where(sel, p_top, s["prk"])
+        if nfix:
+            s["lane_root"] = jnp.where(can[:, None], rx, s["lane_root"])
+        s["cursor"] = jnp.minimum(
+            s["cursor"] + jnp.sum(needv, dtype=_I), jnp.asarray(R, _I))
+        return s
+
+    def body(s):
+        bdist_prev = s["bdist"]
+        (x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist, A,
+         nodes_d, leaf0, leaf1, sol_d, steps_d) = _chunk_call(
+            Mx, s["A"], s["x"], s["pd"], s["cs"], s["bdev"], s["k"],
+            s["act"], s["xk"], s["ck"], s["pdk"], s["rk"], s["prk"],
+            s["bdist"], m=m, B=B, chunk=chunk, is_svp=is_svp,
+            count_mode=count_mode)
+        s = dict(s)
+        s.update(x=x, pd=pd, cs=cs, bdev=bdev, k=k, act=act, xk=xk, ck=ck,
+                 pdk=pdk, rk=rk, prk=prk, bdist=bdist, A=A)
+        # lane-sums are exact in f32 (per-element counts <= chunk and
+        # per-level totals <= B*chunk < 2^24 for default sizes); emulated
+        # f64 math is kept off the (m, B) arrays — it costs milliseconds
+        # per chunk on TPU
+        nsum = jnp.sum(nodes_d, axis=1).astype(jnp.float64)
+        nsum = nsum.at[0].add(jnp.sum(leaf0.astype(jnp.float64)))
+        nsum = nsum.at[1].add(jnp.sum(leaf1.astype(jnp.float64)))
+        s["nodes"] = s["nodes"] + nsum
+        s["sol_count"] = s["sol_count"] + jnp.sum(
+            sol_d.astype(jnp.float64))
+        s["steps"] = s["steps"] + steps_d[0, 0].astype(jnp.int64)
+        if nfix:
+            improved = (bdist < bdist_prev)[0, :]
+            s["best_root"] = jnp.where(improved[:, None], s["lane_root"],
+                                       s["best_root"])
+        need = jnp.any((s["act"] == 0) & (s["cursor"] < R))
+        return jax.lax.cond(need, do_refill, lambda q: q, s)
+
+    def cond(s):
+        return (jnp.any(s["act"] != 0) | (s["cursor"] < R)) & \
+            (s["steps"] < max_steps)
+
+    out = jax.lax.while_loop(cond, body, st)
+    return {
+        "nodes": out["nodes"],
+        "best_dist": jnp.where(jnp.isfinite(out["bdist"][0, :]),
+                               out["bdist"][0, :], jnp.inf),
+        "best_dev": out["bdev"].T,
+        "best_root": out["best_root"],
+        "sol_count": out["sol_count"],
+        "steps": out["steps"],
+        "A": out["A"][0, 0],
+    }

@@ -419,15 +419,29 @@ class TPUEnumerator:
         # in f32 mode the virtual-level sentinel must stay representable
         if dt == jnp.float32:
             rdiag_pad[m_real:] = 1e30
-        state = _enum_run(jnp.asarray(mut_pad, dt), jnp.asarray(rdiag_pad, dt),
-                          jnp.asarray(prune_pad, dt),
-                          jnp.asarray(mut_fix_pad, dt),
-                          jnp.asarray(cp0_pad, dt), jnp.asarray(rx_pad, dt),
-                          jnp.asarray(rpd_pad, dt),
-                          jnp.asarray(A * self.bound_slack, dtype=dt),
-                          m=m, is_svp=bool(is_svp),
-                          count_mode=bool(count_mode),
-                          max_steps=1 << 30, batch=self.batch)
+        use_pallas = False
+        if dt == jnp.float32 and self.batch % 128 == 0 and \
+                __import__("os").environ.get("FPLLL_TPU_PALLAS", "1") != "0":
+            from .pallas_kernel import pallas_available
+            use_pallas = pallas_available()
+        if use_pallas:
+            from .pallas_kernel import _enum_run_pallas
+            state = _enum_run_pallas(
+                mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
+                rx_pad, rpd_pad, A * self.bound_slack, m=m,
+                is_svp=bool(is_svp), count_mode=bool(count_mode),
+                max_steps=1 << 30, batch=self.batch)
+        else:
+            state = _enum_run(
+                jnp.asarray(mut_pad, dt), jnp.asarray(rdiag_pad, dt),
+                jnp.asarray(prune_pad, dt),
+                jnp.asarray(mut_fix_pad, dt),
+                jnp.asarray(cp0_pad, dt), jnp.asarray(rx_pad, dt),
+                jnp.asarray(rpd_pad, dt),
+                jnp.asarray(A * self.bound_slack, dtype=dt),
+                m=m, is_svp=bool(is_svp),
+                count_mode=bool(count_mode),
+                max_steps=1 << 30, batch=self.batch)
 
         self.nodes[:m] += np.asarray(state["nodes"]).astype(np.int64)
         bd = np.array(state["best_dist"])
@@ -526,6 +540,11 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     from ..threads import get_batch
     dtype = jnp.float64 if isinstance(evaluator, ErrorBoundedEvaluator) \
         else jnp.float32
+    if dtype == jnp.float64 and jax.default_backend() == "tpu":
+        # certified error-bounded trees need real f64; TPU f64 is
+        # software-emulated (and unreliable on experimental attachments),
+        # so the proved SVP/CVP drivers keep the native host core
+        return None
     while True:
         enum = TPUEnumerator(batch=get_batch(), dtype=dtype)
         new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,

@@ -1,0 +1,94 @@
+"""Pallas enumeration kernel parity (SURVEY.md §2 #13, #16).
+
+The Pallas kernel (fplll_tpu/enum/pallas_kernel.py) must agree with the
+XLA lockstep kernel on tree semantics.  Mosaic only compiles for real
+TPUs, so the suite's CPU run exercises the kernel through the Pallas
+interpreter in a subprocess (the env knobs are read at import time);
+on a TPU-backed session the same test runs compiled.
+
+The subprocess checks, on a small random lattice against brute force:
+- count mode: exact solution count (#lattice points in the ball / 2)
+  and best distance;
+- search mode: best distance matches brute force.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import json
+import numpy as np
+import itertools
+from fplll_tpu.jaxsetup import jax, jnp
+from fplll_tpu.enum.pallas_kernel import _enum_run_pallas
+
+np.random.seed(7)
+d, m = 5, 8
+mut_low = np.eye(d) + np.tril(np.random.randn(d, d) * 0.3, -1)
+rdiag = np.abs(np.random.randn(d)) + 0.5
+A = 3.0
+cnt = 0
+best = np.inf
+for xs in itertools.product(range(-6, 7), repeat=d):
+    x = np.array(xs, float)
+    dist = 0.0
+    for k in range(d):
+        c = x[k] + sum(mut_low[j, k] * x[j] for j in range(k + 1, d))
+        dist += c * c * rdiag[k]
+    if dist <= A and np.any(x != 0):
+        cnt += 1
+        best = min(best, dist)
+
+# driver convention: kernel input is mu^T
+mut = mut_low.T
+mut_pad = np.zeros((m, m)); mut_pad[:d, :d] = mut
+rdiag_pad = np.full(m, 1e30); rdiag_pad[:d] = rdiag
+prune_pad = np.ones(m); cp0_pad = np.zeros(m)
+mut_fix_pad = np.zeros((m, 8))
+rx_pad = np.zeros((256, 8)); rpd_pad = np.full(256, np.inf)
+rpd_pad[0] = 0.0
+out = {}
+for mode in ("count", "search"):
+    s = _enum_run_pallas(mut_pad, rdiag_pad, prune_pad, mut_fix_pad,
+                         cp0_pad, rx_pad, rpd_pad, A, m=m, is_svp=True,
+                         count_mode=(mode == "count"), max_steps=1 << 20,
+                         batch=128, chunk=64)
+    out[mode] = {
+        "sols": float(np.asarray(s["sol_count"]).sum()),
+        "best": float(np.asarray(s["best_dist"]).min()),
+        "nodes": float(np.asarray(s["nodes"]).sum()),
+    }
+out["brute"] = {"pairs": cnt // 2, "best": best}
+print("RESULT " + json.dumps(out))
+"""
+
+
+def _run_pallas_subprocess(extra_env):
+    env = dict(os.environ)
+    env.update(extra_env)
+    res = subprocess.run([sys.executable, "-c", _SCRIPT],
+                         capture_output=True, text=True, timeout=900,
+                         env=env, cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-4000:]
+    line = [ln for ln in res.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    return json.loads(line[len("RESULT "):])
+
+
+@pytest.mark.slow
+def test_pallas_kernel_matches_brute_force():
+    out = _run_pallas_subprocess({
+        "FPLLL_TPU_PALLAS_INTERPRET": "1",
+        "FPLLL_TPU_PLATFORM": "cpu",
+        "JAX_PLATFORMS": "cpu",
+    })
+    brute = out["brute"]
+    assert out["count"]["sols"] == brute["pairs"]
+    assert abs(out["count"]["best"] - brute["best"]) < 1e-4
+    assert abs(out["search"]["best"] - brute["best"]) < 1e-4
+    assert out["search"]["nodes"] <= out["count"]["nodes"]
