@@ -32,13 +32,19 @@ round-trip of the loop carry.  This kernel is the TPU-native redesign:
   in |x-c|).
 - **Barren-descend lookahead**: a passing node whose child range is
   empty (the nearest-integer child center already violates the child
-  bound — the bit-identical test the child step would run) advances its
+  bound — the same test the child step would run) advances its
   sibling in the same step instead of descending and failing next step.
   In bulge-shaped trees (pruned BKZ blocks, fixed-radius counting) the
   deepest visited nodes are mostly barren, so this removes ~25-35% of
   all steps while leaving the visited-node set and per-level counters
-  exactly unchanged (fplll counts nodes that pass the bound test,
-  enumerate_base.cpp:152-247; failing children were never counted).
+  unchanged up to f32 restore rounding: skipping the barren descend also
+  skips the cs -= x*col / cs += x*col round trip on rows below, and
+  fl(fl(a-t)+t) == a is not guaranteed in f32, so sibling subtrees after
+  a barren node may diverge from the stepwise kernel at ULP level and
+  flip marginal bound tests. (The skipped round trip *removes* rounding;
+  the reference never does subtract-restore either,
+  enumerate_base.cpp:152-247. Do not assert bit-exact node-count parity
+  between this kernel and the XLA kernel.)
 
 Tree semantics (zig-zag sibling order, SVP symmetry breaking
 `next_pos_up`, per-level pruning bounds, per-level node counters,
@@ -220,9 +226,11 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             mud1 = col[m + 4, :]            # mu[ks-1, ks]
 
             # ---- barren lookahead: child center + first-child test ------
-            # c_child = cs[kc-1] - xk*mu[kc-1, kc] is bit-identical to the
-            # center the child step would compute, so skipping the descend
-            # changes no counts (the failing child was never counted).
+            # c_child = cs[kc-1] - xk*mu[kc-1, kc] matches the center the
+            # child step would compute from the in-array update, assuming
+            # XLA/Mosaic lowers both mul+add sites without asymmetric FMA
+            # contraction (XLA's default); the failing child was never
+            # counted, so skipping the descend changes no counts.
             kdn = jnp.maximum(kc - 1, jnp.int32(0))
             oh_dn = rows == kdn[None, :]
             cdn0 = jnp.sum(jnp.where(oh_dn, cs_o[:], zero), axis=0)

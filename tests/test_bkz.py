@@ -54,7 +54,6 @@ def test_hkz():
     b2 = b.copy()
     st, sol = shortest_vector(b2)
     assert st == RED_SUCCESS
-    nrm = sum(int(round(c)) ** 2 for c in [0])  # placeholder no-op
     v = [sum(int(round(c)) * int(b2.a[i, j]) for i, c in enumerate(sol))
          for j in range(b2.ncols)]
     assert first_norm(b) <= sum(x * x for x in v) * 1.0001

@@ -38,17 +38,40 @@ def test_svp_cpu_backend_matches(lattice_dir):
     assert norm_sq(apply_coords(b, sol)) == norm_sq(want)
 
 
+def dual_length_sq(b, coords):
+    """Squared norm of a dual vector given by coefficients in the dual
+    basis: sum_i alpha_i^2 / r_ii with alpha = (I+mu_strict)^-1 coords
+    (reference: tests/test_svp.cpp:105-149 dual_length)."""
+    from fplll_tpu.core.gso import MatGSO
+    from fplll_tpu.defs import GSO_INT_GRAM
+
+    d = b.nrows
+    assert len(coords) == d
+    gso = MatGSO(b.copy(), flags=GSO_INT_GRAM)
+    assert gso.update_gso()
+    alpha = [0.0] * d
+    norm = 0.0
+    for i in range(d):
+        a = float(coords[i])
+        for j in range(i):
+            a -= float(gso.get_mu(i, j)) * alpha[j]
+        alpha[i] = a
+        norm += a * a / float(gso.get_r(i, i))
+    return norm
+
+
 def test_dual_svp(lattice_dir):
-    """Dual SVP (test_svp.cpp:28-33 dsvp variant)."""
+    """Dual SVP: the returned dual vector must be at least as short as
+    the golden shortest dual vector (test_svp.cpp:159-204)."""
     b = read_matrix(f"{lattice_dir}/example_dsvp_in")
     want = parse_vector(open(f"{lattice_dir}/example_dsvp_out").read())
+    norm_want = dual_length_sq(b, want)
     lll_reduction(b)
     status, sol, ev, _ = shortest_vector_ex(b, SVPM_FAST, flags=SVP_DUAL,
                                             backend="cpu")
     assert status == RED_SUCCESS
-    # dual solution: coefficient vector w with <w, x> small over the dual;
-    # compare the dual norm via the golden answer's coefficients
-    assert len(sol) > 0 and any(c != 0 for c in sol)
+    norm_sol = dual_length_sq(b, sol)
+    assert norm_sol <= norm_want * (1.0 + 1e-9)
 
 
 @pytest.mark.parametrize("suffix,method", [
