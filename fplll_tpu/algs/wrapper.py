@@ -134,9 +134,13 @@ class Wrapper:
 
     def heuristic_loop(self, precision: int) -> int:
         """Approximate gram at growing soft-float precision
-        (wrapper.cpp:179-201)."""
-        kappa = self._call_lll(LM_HEURISTIC, MPCtx(max(precision, PREC_DOUBLE),
-                                                  FT_DPE), 0)
+        (wrapper.cpp:179-201: dpe when the precision fits a double
+        mantissa, mpfr above)."""
+        if precision <= PREC_DOUBLE:
+            ctx = get_ctx(FT_DPE)
+        else:
+            ctx = MPCtx(precision, FT_MPFR)
+        kappa = self._call_lll(LM_HEURISTIC, ctx, 0)
         if kappa == 0:
             return 0
         if precision < self.good_prec and not self.little(kappa, precision):
@@ -145,12 +149,15 @@ class Wrapper:
 
     def proved_loop(self, precision: int) -> int:
         """Exact gram at growing precision up to good_prec
-        (wrapper.cpp:203-232)."""
+        (wrapper.cpp:203-232: mpfr above dd, dpe when entries overflow
+        the double exponent range, dd above double precision, else
+        hardware double)."""
         if precision > PREC_DD:
-            ctx = MPCtx(precision, FT_MPFR)
-        elif self.max_exponent * 2 > 1000 or precision > PREC_DOUBLE:
-            # dpe role: 53-bit mantissa unbounded exponent
-            ctx = MPCtx(max(precision, PREC_DOUBLE), FT_DPE)
+            ctx = self._high_prec_ctx(precision)
+        elif self.max_exponent * 2 > 1000:
+            ctx = get_ctx(FT_DPE)
+        elif precision > PREC_DOUBLE:
+            ctx = get_ctx(FT_DD)
         else:
             ctx = F64Ctx()
         kappa = self._call_lll(LM_PROVED, ctx, 0)
@@ -160,14 +167,32 @@ class Wrapper:
             return self.proved_loop(self.increase_prec(precision))
         return -1
 
+    def _high_prec_ctx(self, precision: int):
+        """Context for proved passes above dd precision. The reference
+        goes straight to mpfr (wrapper.cpp:206-210) because libqd is its
+        optional fast tier only up to dd; here the compiled qd (212-bit)
+        covers precisions up to PREC_QD-12 (a 12-bit guard for qd's
+        few-ulp arithmetic), with the soft-float as the arbitrary-
+        precision tail."""
+        from ..nr.fctx import compiled_ctx
+        if precision <= PREC_QD - 12 and self.max_exponent * 2 <= 1000:
+            ctx = compiled_ctx("qd")
+            if ctx is not None:
+                return ctx
+        return MPCtx(precision, FT_MPFR)
+
     def last_lll(self) -> int:
-        """Final proved pass at good_prec (wrapper.cpp:237-273)."""
+        """Final proved pass at good_prec (wrapper.cpp:237-273; the
+        exponent bound is refreshed from the now-reduced basis before
+        choosing dd, wrapper.cpp:265-269)."""
+        self.max_exponent = self.b.get_max_exp() + int(
+            math.ceil(0.5 * math.log2(max(1, self.d * self.n))))
         if self.good_prec <= PREC_DOUBLE:
-            ctx = MPCtx(PREC_DOUBLE, FT_DPE)
-        elif self.good_prec <= PREC_DD:
-            ctx = MPCtx(PREC_DD, FT_DD)
+            ctx = get_ctx(FT_DPE)
+        elif self.good_prec <= PREC_DD and self.max_exponent * 2 <= 1000:
+            ctx = get_ctx(FT_DD)
         else:
-            ctx = MPCtx(self.good_prec, FT_MPFR)
+            ctx = self._high_prec_ctx(self.good_prec)
         return self._call_lll(LM_PROVED, ctx, self.good_prec)
 
     def _native_fast_rung(self) -> int | None:
@@ -199,7 +224,7 @@ class Wrapper:
         last_prec = PREC_DOUBLE
         if lll_failure:
             # dd-role rung (the reference's long-double + dd rungs)
-            kappa = self._call_lll(LM_FAST, MPCtx(PREC_DD, FT_DD), 0)
+            kappa = self._call_lll(LM_FAST, get_ctx(FT_DD), 0)
             lll_failure = kappa != 0
             last_prec = PREC_DD
         if lll_failure:
@@ -244,22 +269,34 @@ class HLLLWrapper:
     def increase_prec(self, precision: int) -> int:
         return min(precision * 2, self.good_prec)
 
+    def _proved_ctx(self, precision: int):
+        """Proved-rung context by precision: compiled dpe/dd/qd tiers,
+        soft-float above (the reference uses mpfr for every HLLL proved
+        pass, wrapper.cpp:440-466; the compiled tiers are this build's
+        fast equivalents at 53/106/212 bits)."""
+        from ..nr.fctx import compiled_ctx
+        if precision <= PREC_DOUBLE:
+            return get_ctx(FT_DPE)
+        if precision <= PREC_DD:
+            return get_ctx(FT_DD)
+        if precision <= PREC_QD - 12:
+            ctx = compiled_ctx("qd")
+            if ctx is not None:
+                return ctx
+        return MPCtx(precision, FT_MPFR)
+
     def hlll_proved_loop(self, precision: int) -> bool:
         while True:
-            if self._call_hlll(LM_PROVED, MPCtx(precision, FT_MPFR), precision):
+            if self._call_hlll(LM_PROVED, self._proved_ctx(precision),
+                               precision):
                 return True
             if precision >= self.good_prec:
                 return False
             precision = self.increase_prec(precision)
 
     def last_hlll(self) -> bool:
-        if self.good_prec <= PREC_DOUBLE:
-            ctx = MPCtx(PREC_DOUBLE, FT_DPE)
-        elif self.good_prec <= PREC_DD:
-            ctx = MPCtx(PREC_DD, FT_DD)
-        else:
-            ctx = MPCtx(self.good_prec, FT_MPFR)
-        return self._call_hlll(LM_PROVED, ctx, self.good_prec)
+        return self._call_hlll(LM_PROVED, self._proved_ctx(self.good_prec),
+                               self.good_prec)
 
     def hlll(self) -> bool:
         if self.b.nrows == 0 or self.b.ncols == 0:
@@ -267,7 +304,7 @@ class HLLLWrapper:
         complete = self._call_hlll(LM_FAST, F64Ctx(), 0)
         last_prec = PREC_DOUBLE
         if not complete:
-            complete = self._call_hlll(LM_FAST, MPCtx(PREC_DD, FT_DD), 0)
+            complete = self._call_hlll(LM_FAST, get_ctx(FT_DD), 0)
             last_prec = PREC_DD
         if not complete:
             complete = self.hlll_proved_loop(last_prec)

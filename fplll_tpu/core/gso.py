@@ -35,7 +35,12 @@ __all__ = ["MatGSO", "MatGSOGram", "adjust_radius_to_gh_bound"]
 
 
 def _mpf_to_int_mul_2exp(x, e: int) -> int:
-    """Exact integer value of x * 2^e for an mpmath mpf known to be integral."""
+    """Exact integer value of x * 2^e for a soft-float scalar (mpmath mpf
+    or compiled dpe/dd/qd) known to be integral."""
+    if not hasattr(x, "_mpf_"):
+        from ..nr.fctx import comps_to_int_mul_2exp
+        comps, off = x.parts()
+        return comps_to_int_mul_2exp(comps, off + e)
     sign, man, exp, _ = x._mpf_
     if man == 0:
         return 0

@@ -262,3 +262,55 @@ def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
                     u.a[i, j] = new_u[i][j]
         return int(status)
     return None
+
+
+# ---------------------------------------------------------------------------
+# fpnum: compiled dpe/dd/qd scalar tower (CPython extension, built on demand)
+# ---------------------------------------------------------------------------
+_FPNUM = None
+_FPNUM_TRIED = False
+
+
+def _build_fpnum():
+    import importlib.machinery
+    import importlib.util
+    import sysconfig
+
+    src = os.path.join(_HERE, "fpnum.c")
+    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
+                               os.path.expanduser("~/.cache/fplll_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "fpnum.so")
+    if not os.path.exists(so_path) or \
+            os.path.getmtime(so_path) < os.path.getmtime(src):
+        inc = sysconfig.get_path("include")
+        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+               f"-I{inc}", "-o", so_path, src, "-lm"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            try:
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (OSError, subprocess.SubprocessError):
+                return None
+    try:
+        loader = importlib.machinery.ExtensionFileLoader("fpnum", so_path)
+        spec = importlib.util.spec_from_file_location("fpnum", so_path,
+                                                      loader=loader)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except (OSError, ImportError):
+        return None
+
+
+def get_fpnum():
+    """The compiled scalar module, or None if the toolchain is missing."""
+    global _FPNUM, _FPNUM_TRIED
+    if not _FPNUM_TRIED:
+        _FPNUM_TRIED = True
+        if os.environ.get("FPLLL_TPU_COMPILED_FP", "1") == "1":
+            _FPNUM = _build_fpnum()
+    return _FPNUM

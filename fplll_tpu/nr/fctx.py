@@ -30,9 +30,10 @@ import numpy as np
 from ..defs import (FT_DD, FT_DEFAULT, FT_DOUBLE, FT_DPE, FT_LONG_DOUBLE,
                     FT_MPFR, FT_QD, FloatType, PREC_DD, PREC_DOUBLE, PREC_QD)
 
-__all__ = ["F64Ctx", "MPCtx", "get_ctx", "float_ctx_from_name",
-           "gso_min_prec", "l2_min_prec", "hlll_min_prec",
-           "round_mul_2exp", "int_to_f_exp"]
+__all__ = ["F64Ctx", "MPCtx", "CompiledCtx", "get_ctx",
+           "float_ctx_from_name", "gso_min_prec", "l2_min_prec",
+           "hlll_min_prec", "round_mul_2exp", "int_to_f_exp",
+           "comps_to_int_mul_2exp"]
 
 
 # ---------------------------------------------------------------------------
@@ -55,6 +56,42 @@ def int_to_f_exp(x: int) -> Tuple[float, int]:
         f, e2 = math.frexp(float(top))
         e = e2 + sh
     return (-f if neg else f), e
+
+
+def comps_to_int_mul_2exp(comps, expo: int) -> int:
+    """Exact nearest-int (ties to even) of (sum of float comps) * 2^expo.
+
+    Used to extract the exact integer multiplier from a compiled dpe/dd/qd
+    scalar (its .parts() decomposition) the way _mpf_to_int_mul_2exp does
+    for mpmath values (reference: FP_NR::rnd_we + row_addmul_we,
+    gso.cpp:236-262)."""
+    terms = []
+    min_sh = None
+    for f in comps:
+        if f == 0.0 or not math.isfinite(f):
+            continue
+        m, fe = math.frexp(f)
+        mant = int(m * (1 << 53))
+        sh = fe - 53 + expo
+        terms.append((mant, sh))
+        min_sh = sh if min_sh is None else min(min_sh, sh)
+    if not terms:
+        return 0
+    acc = 0
+    for mant, sh in terms:
+        acc += mant << (sh - min_sh)
+    if min_sh >= 0:
+        return acc << min_sh
+    sh = -min_sh
+    neg = acc < 0
+    a = -acc if neg else acc
+    if sh > a.bit_length() + 1:
+        return 0
+    q, r = divmod(a, 1 << sh)
+    half = 1 << (sh - 1)
+    if r > half or (r == half and (q & 1)):
+        q += 1
+    return -q if neg else q
 
 
 def round_mul_2exp(m: float, expo: int) -> int:
@@ -232,10 +269,127 @@ class MPCtx:
 _F64 = F64Ctx()
 
 
+# ---------------------------------------------------------------------------
+# Compiled scalar backend (native dpe / dd / qd, fplll_tpu/native/fpnum.c)
+# ---------------------------------------------------------------------------
+class CompiledCtx:
+    """Context over the compiled dpe/dd/qd scalar types.
+
+    Same protocol as MPCtx, but every scalar operation runs in native code
+    (error-free-transform double-double / quad-double, or double+exponent
+    dpe) instead of interpreted mpmath — the compiled high-precision tier
+    that plays the role of libqd/dpe in the reference
+    (/root/reference/fplll/nr/nr_FP_dd.inl, nr_FP_qd.inl, nr/dpe.h)."""
+
+    dtype = object
+
+    _PRECS = {"dpe": PREC_DOUBLE, "dd": PREC_DD, "qd": PREC_QD}
+    _FTS = {"dpe": FT_DPE, "dd": FT_DD, "qd": FT_QD}
+
+    def __init__(self, kind: str, mod):
+        self._m = mod
+        self.kind = kind
+        self._mk = getattr(mod, kind)
+        self.prec = self._PRECS[kind]
+        self.float_type = self._FTS[kind]
+        self.name = kind
+        self._zero = self._mk(0.0)
+        self._fpnum_t = type(self._zero)
+
+    def guard(self):
+        import contextlib
+        return contextlib.nullcontext()
+
+    def zeros(self, shape):
+        a = np.empty(shape, dtype=object)
+        a[...] = self._zero
+        return a
+
+    def scalar(self, x):
+        if type(x) is self._fpnum_t:
+            return x
+        if isinstance(x, (np.floating, np.integer)):
+            x = float(x)
+        return self._mk(x)
+
+    def from_int(self, x: int):
+        if self.kind == "dpe":
+            f, e = int_to_f_exp(int(x))
+            return self._m.dpe_me(f, e)
+        return self._mk(int(x))
+
+    def to_float(self, x) -> float:
+        return float(x)
+
+    def dot(self, u, v):
+        if len(u) == 0:
+            return self._zero
+        return self._m.dot(u, v)
+
+    def is_finite(self, x) -> bool:
+        if type(x) is self._fpnum_t:
+            return bool(x.is_finite())
+        return math.isfinite(float(x))
+
+    def exponent(self, x) -> int:
+        if type(x) is not self._fpnum_t:
+            x = self.scalar(x)
+        return int(x.exponent())
+
+    def rnd(self, x):
+        return self.scalar(x).nint()
+
+    def rnd_int(self, x) -> int:
+        comps, off = self.scalar(x).nint().parts()
+        return comps_to_int_mul_2exp(comps, off)
+
+    def ldexp(self, x, e: int):
+        return self.scalar(x).ldexp(int(e))
+
+    def ldexp_arr(self, a, e: int):
+        out = np.empty_like(a)
+        flat_in, flat_out = a.ravel(), out.ravel()
+        for i in range(flat_in.size):
+            flat_out[i] = flat_in[i].ldexp(int(e))
+        return out
+
+    def sqrt(self, x):
+        return self.scalar(x).sqrt()
+
+    def log(self, x):
+        comps, off = self.scalar(x).parts()
+        h = comps[0]
+        if h == 0.0:
+            return self._mk(-math.inf)
+        if h < 0.0 or not math.isfinite(h):
+            return self._mk(math.nan if h < 0 else h)
+        m, e = math.frexp(h)
+        corr = math.fsum(comps[1:]) / h if len(comps) > 1 else 0.0
+        return self._mk(math.log(m) + (e + off) * math.log(2.0) +
+                        math.log1p(corr))
+
+    def pow(self, x, y):
+        return self._mk(math.pow(float(x), float(y)))
+
+
+_COMPILED_CACHE: dict = {}
+
+
+def compiled_ctx(kind: str):
+    """CompiledCtx for 'dpe'/'dd'/'qd', or None if the native build failed."""
+    if kind not in _COMPILED_CACHE:
+        from ..native import get_fpnum
+        mod = get_fpnum()
+        _COMPILED_CACHE[kind] = CompiledCtx(kind, mod) if mod else None
+    return _COMPILED_CACHE[kind]
+
+
 def get_ctx(float_type: FloatType | int, prec: int = 0):
     """Resolve a FloatType (+ precision for FT_MPFR) to a context.
 
-    Mirrors the switch-ladders of wrapper.cpp:682-731.
+    Mirrors the switch-ladders of wrapper.cpp:682-731. dpe/dd/qd resolve
+    to the compiled native scalars when available, with the mpmath
+    soft-float as fallback.
     """
     ft = FloatType(float_type)
     if ft in (FT_DOUBLE, FT_DEFAULT):
@@ -243,11 +397,11 @@ def get_ctx(float_type: FloatType | int, prec: int = 0):
     if ft == FT_LONG_DOUBLE:
         return MPCtx(64, FT_LONG_DOUBLE)
     if ft == FT_DPE:
-        return MPCtx(PREC_DOUBLE, FT_DPE)
+        return compiled_ctx("dpe") or MPCtx(PREC_DOUBLE, FT_DPE)
     if ft == FT_DD:
-        return MPCtx(PREC_DD, FT_DD)
+        return compiled_ctx("dd") or MPCtx(PREC_DD, FT_DD)
     if ft == FT_QD:
-        return MPCtx(PREC_QD, FT_QD)
+        return compiled_ctx("qd") or MPCtx(PREC_QD, FT_QD)
     if ft == FT_MPFR:
         return MPCtx(prec if prec > 0 else PREC_DOUBLE, FT_MPFR)
     raise ValueError(f"unsupported float type {float_type}")
