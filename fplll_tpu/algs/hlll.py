@@ -168,6 +168,25 @@ class HLLLReduction:
     # -- weak size reduction check (hlll.cpp:404-500, default branch) --------
     def verify_size_reduction(self, kappa: int) -> bool:
         m, ctx = self.m, self.ctx
+        if getattr(m, "_fast", False):
+            import numpy as np
+            rkk = float(np.sqrt(np.dot(m.R[kappa, kappa:], m.R[kappa, kappa:])))
+            if kappa == 0:
+                return True
+            e1 = e0 = int(m.row_expo[kappa])
+            v = np.abs(m.R[kappa, :kappa])
+            rii = np.diagonal(m.R[:kappa, :kappa])
+            e2 = m.row_expo[:kappa].astype(np.int64)
+            with np.errstate(over="ignore", under="ignore"):
+                rhs = np.ldexp(rii * self.eta, e2 - e0) + \
+                    np.ldexp(rkk * self.theta, e1 - e0)
+            bad = v > rhs
+            if bad.any():
+                i = int(np.argmax(bad))
+                print(f"Anomaly: weak size reduction is not complete "
+                      f"kappa = {kappa} and i = {i}", file=sys.stderr)
+                return False
+            return True
         with ctx.guard():
             rkk, e1 = m.norm_R_row(kappa, kappa, m.get_n())
             tRkk = rkk * ctx.scalar(self.theta)

@@ -203,9 +203,47 @@ class MatGSOInterface:
         return True
 
     def update_gso(self) -> bool:
+        if isinstance(self.ctx, F64Ctx) and self._try_block_update_gso():
+            return True
         for i in range(self.d):
             if not self.update_gso_row(i):
                 return False
+        return True
+
+    # -- blocked full recompute (ops/blockgso: Cholesky of the Gram) --------
+    def _float_gram_full(self):
+        """Full (d, d) float64 Gram in the stored scaling, or None when it
+        cannot be formed (entries overflow f64)."""
+        return None
+
+    def _try_block_update_gso(self) -> bool:
+        """Full-state GSO recompute as one blocked Cholesky when most rows
+        are invalid (fresh objects, post-escalation restarts). Replaces d
+        runs of the scalar recurrence with one LAPACK/XLA call; falls back
+        to the lazy path on numerically indefinite Grams so divergence
+        signalling matches the reference (gso_interface.cpp:156-158)."""
+        d = self.d
+        if d < 8 or self.cols_locked:
+            return False
+        n_valid = sum(1 for i in range(self.n_known_rows)
+                      if self.gso_valid_cols[i] > i)
+        if 2 * n_valid > d:
+            return False
+        while self.n_known_rows < d:
+            self.discover_row()
+        G = self._float_gram_full()
+        if G is None:
+            return False
+        from ..ops.blockgso import full_gso
+        out = full_gso(G)
+        if out is None:
+            return False
+        mu, r = out
+        np.fill_diagonal(mu, 0.0)
+        self.mu = np.ascontiguousarray(mu)
+        self.r = np.ascontiguousarray(r)
+        for i in range(d):
+            self.gso_valid_cols[i] = i + 1
         return True
 
     # -- accessors (gso.h:100-180 contracts) --------------------------------
@@ -604,6 +642,18 @@ class MatGSO(MatGSOInterface):
             self.gf[idx, i] = vals
         return self.gf[i, :last_j + 1]
 
+    def _float_gram_full(self):
+        if self.enable_int_gram:
+            try:
+                return self.g[:self.d, :self.d].astype(np.float64)
+            except OverflowError:
+                return None
+        n = self.n_known_cols if not self.cols_locked else self.bf.shape[1]
+        from ..ops.blockgso import gram_from_basis
+        G = gram_from_basis(self.bf, n)
+        self.gf[:, :] = G  # the lazy-gram cache is now fully known
+        return G
+
     # -- exact row ops -------------------------------------------------------
     def _row_addmul_exact(self, i: int, j: int, x: int) -> None:
         self.b.row_addmul(i, j, x)
@@ -818,6 +868,12 @@ class MatGSOGram(MatGSOInterface):
 
     def get_int_gram(self, i: int, j: int) -> int:
         return int(self.g[i, j])
+
+    def _float_gram_full(self):
+        try:
+            return self.g[:self.d, :self.d].astype(np.float64)
+        except OverflowError:
+            return None
 
     def _row_addmul_exact(self, i: int, j: int, x: int) -> None:
         if self.enable_transform:

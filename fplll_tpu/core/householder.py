@@ -55,8 +55,29 @@ class MatHouseholder:
         self.n_known_rows = 0
         self.n_known_cols = 0
         self.updated_R = False
-        # R_history[i][j] = snapshot of R[i] after applying reflector j
-        self.R_history = [ctx.zeros((d, n)) for _ in range(d)]
+        self._fast = isinstance(self.ctx, F64Ctx)
+        if self._fast:
+            # f64 fast path keeps, per row, the application START state,
+            # the reflector dot products t (the compact-WY solve output)
+            # and the fully APPLIED row. Any intermediate prefix state
+            # (what the reference snapshots into R_history,
+            # householder.h:597-608) is then one GEMV:
+            #   state_after_refl_{m}[c>=m] = start[c] - sum_{k<=m} t_k V[k,c]
+            self.R_history = None
+            self.R_start = np.zeros((d, n))
+            self.tcoef = np.zeros((d, d))
+            self.R_applied = np.zeros((d, n))
+            # cached V V^T (strictly lower used) for the compact-WY
+            # application; valid for reflector rows < _vvt_valid
+            self._vvt = np.zeros((d, d))
+            self._vvt_valid = 0
+        else:
+            # soft-float engines keep the reference's per-step snapshots
+            # (exact arithmetic-order parity for proved rungs)
+            self.R_history = [ctx.zeros((d, n)) for _ in range(d)]
+            self.R_start = self.tcoef = self.R_applied = None
+            self._vvt = None
+            self._vvt_valid = 0
         self.norm_square_b = ctx.zeros(d)
         self.expo_norm_square_b = np.zeros(d, dtype=np.int64)
         # naive verification path state
@@ -144,19 +165,52 @@ class MatHouseholder:
                     self.V[i, k] = ctx.scalar(0)
                     self.R[i, k] = ctx.scalar(0)
         self.n_known_rows = max(self.n_known_rows, i + 1)
+        if self._fast and self._vvt_valid > i:
+            self._vvt_valid = i  # reflector i changed; rows >= i are stale
+
+    def _refresh_vvt(self, i: int) -> None:
+        """Ensure the V V^T cache covers reflector rows 0..i-1."""
+        V = self.V
+        while self._vvt_valid < i:
+            j = self._vvt_valid
+            col = V[:j + 1] @ V[j]
+            self._vvt[j, :j + 1] = col
+            self._vvt[:j + 1, j] = col
+            self._vvt_valid += 1
 
     def update_R(self, i: int, last_j: bool = True) -> None:
-        """Apply reflectors 0..i-1 to row i, snapshotting each prefix
-        (householder.cpp:151-184)."""
+        """Apply reflectors 0..i-1 to row i (householder.cpp:151-184).
+
+        f64 fast path: one compact-WY application (triangular solve + two
+        GEMVs, ops/blockgso.wy_apply_row) instead of i sequential dot+axpy
+        pairs; soft-float engines keep the reference's sequential order
+        with per-step snapshots.
+        """
         ctx = self.ctx
         n = self.n
         if not self.updated_R:
-            with ctx.guard():
-                for j in range(i):
-                    dotp = ctx.dot(self.V[j, j:n], self.R[i, j:n])
-                    self.R[i, j:n] = self.R[i, j:n] - dotp * self.V[j, j:n]
-                    self.R[i, j] = self.sigma[j] * self.R[i, j]
-                    self.R_history[i][j, j:n] = self.R[i, j:n]
+            if self._fast:
+                from scipy.linalg import solve_triangular
+                self.R_start[i, :] = self.R[i, :]
+                if i > 0:
+                    self._refresh_vvt(i)
+                    Vp = self.V[:i]
+                    c = Vp @ self.R[i, :]
+                    t = solve_triangular(self._vvt[:i, :i], c, lower=True,
+                                         unit_diagonal=True,
+                                         check_finite=False)
+                    r = self.R[i, :] - t @ Vp
+                    r[:i] *= self.sigma[:i]
+                    self.tcoef[i, :i] = t
+                    self.R[i, :] = r
+                self.R_applied[i, :] = self.R[i, :]
+            else:
+                with ctx.guard():
+                    for j in range(i):
+                        dotp = ctx.dot(self.V[j, j:n], self.R[i, j:n])
+                        self.R[i, j:n] = self.R[i, j:n] - dotp * self.V[j, j:n]
+                        self.R[i, j] = self.sigma[j] * self.R[i, j]
+                        self.R_history[i][j, j:n] = self.R[i, j:n]
             if last_j:
                 self.update_R_last(i)
 
@@ -166,10 +220,19 @@ class MatHouseholder:
             self.update_R(i, True)
 
     def recover_R(self, i: int) -> None:
-        """Restore R[i] prefix from history in O(n) (householder.h:597-608)."""
-        for k in range(i - 1):
-            self.R[i, k] = self.R_history[i][k, k]
-        self.R[i, i - 1:] = self.R_history[i][i - 1, i - 1:]
+        """Restore R[i] to its state after reflectors 0..i-1 in O(n·i)
+        (householder.h:597-608: prefix columns take their final values,
+        tail columns the snapshot after reflector i-1)."""
+        if self._fast:
+            self.R[i, :i - 1] = self.R_applied[i, :i - 1]
+            tail = self.R_start[i, i - 1:] - \
+                self.tcoef[i, :i] @ self.V[:i, i - 1:]
+            tail[0] *= self.sigma[i - 1]
+            self.R[i, i - 1:] = tail
+        else:
+            for k in range(i - 1):
+                self.R[i, k] = self.R_history[i][k, k]
+            self.R[i, i - 1:] = self.R_history[i][i - 1, i - 1:]
         self.updated_R = True
 
     def set_updated_R_false(self) -> None:
@@ -178,6 +241,8 @@ class MatHouseholder:
     def invalidate_row(self, k: int) -> None:
         if k < self.n_known_rows:
             self.n_known_rows = k
+        if self._fast and k < self._vvt_valid:
+            self._vvt_valid = k
 
     # -- accessors ------------------------------------------------------------
     def get_R(self, i: int, j: int) -> Tuple[object, int]:
@@ -222,9 +287,53 @@ class MatHouseholder:
         with self.ctx.guard():
             self.R[i, :i] = self.R[i, :i] + x * self.R[j, :i]
 
+    def _size_reduce_f64(self, k: int, end: int, start: int) -> bool:
+        """f64 sweep with the rnd_we rounding vectorized.
+
+        The descending cascade only has a dependency through the prefix
+        update R[k, :i] += x R[i, :i], and most candidate multipliers
+        round to zero — so compute all rounded multipliers in one shot,
+        apply the highest nonzero one (indices above it saw the same row
+        state and stay zero), and recompute below it. Reduction decisions
+        and exact basis updates match the scalar path."""
+        if end <= start:
+            return False
+        R = self.R
+        row = R[k]
+        re_k = int(self.row_expo[k])
+        diag = np.diagonal(R[:end, :end])
+        ed = (re_k - self.row_expo[:end]).astype(np.int64)
+        reduced = False
+        i_hi = end
+        while i_hi > start:
+            with np.errstate(all="ignore"):
+                q = row[start:i_hi] / diag[start:i_hi]
+                e = ed[start:i_hi]
+                scaled = np.ldexp(q, e)
+                x = np.ldexp(np.rint(scaled), -e)
+                fe = np.frexp(q)[1]
+                finite = np.isfinite(q)
+                big = (fe + e >= 53) & (q != 0.0) & finite
+                x = np.where(big, q, x)
+                x = np.where(finite, x, 0.0)
+            nz = np.nonzero(x)[0]
+            if len(nz) == 0:
+                break
+            j = int(nz[-1])
+            i = start + j
+            self.row_addmul_we(k, i, -float(x[j]), int(ed[i]))
+            reduced = True
+            i_hi = i
+        if reduced:
+            self.invalidate_row(k)
+        return reduced
+
     def size_reduce(self, k: int, size_reduction_end: int,
                     size_reduction_start: int = 0) -> bool:
         """One weak-size-reduction sweep of row k (householder.cpp:400-452)."""
+        if self._fast:
+            return self._size_reduce_f64(k, size_reduction_end,
+                                         size_reduction_start)
         ctx = self.ctx
         reduced = False
         with ctx.guard():
@@ -257,7 +366,13 @@ class MatHouseholder:
         self.row_expo[[i, j]] = self.row_expo[[j, i]]
         self.init_row_size[i], self.init_row_size[j] = \
             self.init_row_size[j], self.init_row_size[i]
-        self.R_history[i], self.R_history[j] = self.R_history[j], self.R_history[i]
+        if self._fast:
+            self.R_applied[[i, j]] = self.R_applied[[j, i]]
+            self.R_start[[i, j]] = self.R_start[[j, i]]
+            self.tcoef[[i, j]] = self.tcoef[[j, i]]
+        else:
+            self.R_history[i], self.R_history[j] = \
+                self.R_history[j], self.R_history[i]
         if self.enable_transform:
             self.u.row_swap(i, j)
             if self.enable_inverse_transform:
