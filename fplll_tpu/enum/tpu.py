@@ -472,6 +472,25 @@ class TPUEnumerator:
 _MIN_TPU_DIM = int(__import__("os").environ.get("FPLLL_TPU_MIN_ENUM_DIM", 34))
 
 
+def _make_enumerator(dtype):
+    """Pick the device enumerator for the facade: the sharded multi-chip
+    driver whenever the default backend exposes more than one device (the
+    analogue of enumlib auto-registering as the default extenum,
+    reference: enumerate_ext.cpp:34-38), else the single-chip kernel.
+    FPLLL_TPU_MESH=0 forces single-chip (bench A/B comparisons)."""
+    import os
+
+    from ..threads import get_batch
+    ndev = len(jax.devices())
+    if ndev > 1 and os.environ.get("FPLLL_TPU_MESH", "1") != "0":
+        from ..parallel.mesh import ShardedEnumerator, make_enum_mesh
+        return ShardedEnumerator(
+            make_enum_mesh(),
+            batch_per_device=max(128, get_batch() // ndev),
+            dtype=dtype)
+    return TPUEnumerator(batch=get_batch(), dtype=dtype)
+
+
 def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
                             fmaxdistexpo, target_coord, subtree, pruning,
                             dual):
@@ -537,7 +556,6 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     # postprocessing); f64 when the caller needs certified completeness
     # (error-bounded evaluators of the proved SVP/CVP drivers)
     from .evaluator import ErrorBoundedEvaluator
-    from ..threads import get_batch
     dtype = jnp.float64 if isinstance(evaluator, ErrorBoundedEvaluator) \
         else jnp.float32
     if dtype == jnp.float64 and jax.default_backend() == "tpu":
@@ -546,7 +564,7 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         # so the proved SVP/CVP drivers keep the native host core
         return None
     while True:
-        enum = TPUEnumerator(batch=get_batch(), dtype=dtype)
+        enum = _make_enumerator(dtype)
         new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,
                                             is_svp, evaluator,
                                             count_mode=count_mode)

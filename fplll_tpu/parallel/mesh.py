@@ -177,6 +177,47 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
     return jax.lax.while_loop(cond, body, st)
 
 
+_RUN_CACHE = {}
+
+
+def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
+                       count_mode: bool, sync_steps: int, batch: int,
+                       dtype_str: str):
+    """Jitted shard_mapped whole-search launch, cached per static config
+    (shapes are bucketed by the caller so BKZ's repeated block calls hit
+    this cache instead of retracing)."""
+    dev_key = tuple(d.id for d in mesh.devices.flat)
+    key = (dev_key, m, nfix, is_svp, count_mode, sync_steps, batch, dtype_str)
+    if key in _RUN_CACHE:
+        return _RUN_CACHE[key]
+
+    def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, rpd_a, A_a):
+        out = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
+                        rx_a, rpd_a, A_a, m=m, is_svp=is_svp,
+                        count_mode=count_mode, sync_steps=sync_steps,
+                        max_rounds=1 << 22, batch=batch)
+        out["cursor"] = out["cursor"][None]
+        out["rounds"] = out["rounds"][None]
+        out["work"] = out["work"][None]
+        out["nodes"] = out["nodes"][None]
+        return out
+
+    lane = P("enum")
+    run = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), lane, lane, P()),
+        out_specs={"x": lane, "dx": lane, "ddx": lane, "center": lane,
+                   "partdist": lane, "cs": lane, "k": lane,
+                   "active": lane, "lane_root": lane, "A": P(),
+                   "best_dist": lane, "best_dev": lane,
+                   "best_root": lane, "sol_count": lane, "nodes": lane,
+                   "cursor": lane, "rounds": lane, "work": lane},
+        check_vma=False)
+    out = jax.jit(run)
+    _RUN_CACHE[key] = out
+    return out
+
+
 class ShardedEnumerator:
     """Multi-device enumeration driver: ONE launch for the whole search.
 
@@ -184,16 +225,24 @@ class ShardedEnumerator:
     "enum" axis), every device runs the lockstep DFS with its own
     on-device refill queue, and the shrinking radius is pmin-exchanged
     over ICI every sync_steps (the distributed replacement of enumlib's
-    atomic bound, SURVEY §5)."""
+    atomic bound, SURVEY §5). Registered through the enumeration facade
+    whenever the mesh has more than one device — the analogue of enumlib
+    auto-registering as the default external enumerator
+    (/root/reference/fplll/enum/enumerate_ext.cpp:34-38)."""
+
+    launches = 0  # process-wide launch counter (tests / dryrun assertions)
 
     def __init__(self, mesh: Mesh, batch_per_device: int = 512,
                  steps_per_sweep: int = 2048,
-                 max_device_levels: int = 64):
+                 max_device_levels: int = 64, dtype=None):
+        from ..jaxsetup import jnp as _jnp
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         self.batch_per_device = batch_per_device
         self.sync_steps = steps_per_sweep
         self.max_device_levels = max_device_levels
+        self.dtype = dtype if dtype is not None else _jnp.float64
+        self.bound_slack = 1.0 + 1e-5 if self.dtype == _jnp.float32 else 1.0
         self.nodes = np.zeros(0, dtype=np.int64)
 
     def enumerate(self, mut: np.ndarray, rdiag: np.ndarray,
@@ -234,7 +283,14 @@ class ShardedEnumerator:
         if nfix:
             mut_fix_pad[:m_real, :nfix] = mut[:m_real, m_real:d]
 
-        # deal roots round-robin so cheap roots spread over shards
+        dt = self.dtype
+        if dt == jnp.float32:
+            # keep the virtual-level sentinel representable in f32
+            rdiag_pad[m_real:] = 1e30
+
+        # deal roots round-robin so cheap roots spread over shards; the
+        # per-shard queue length is a power-of-two bucket so the jitted
+        # launch is shape-cacheable across BKZ's repeated block calls
         R = len(roots_pd)
         R_per = 1024
         while R_per * self.n_dev < R:
@@ -250,39 +306,19 @@ class ShardedEnumerator:
         rpd_flat = rpd_sh.reshape(self.n_dev * R_per)
 
         B = self.batch_per_device
-        A0 = float(maxdist)
+        A0 = float(maxdist) * self.bound_slack
 
-        def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, rpd_a,
-                     A_a):
-            out = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
-                            rx_a, rpd_a, A_a, m=m, is_svp=bool(is_svp),
-                            count_mode=bool(count_mode),
-                            sync_steps=self.sync_steps,
-                            max_rounds=1 << 22, batch=B)
-            out["cursor"] = out["cursor"][None]
-            out["rounds"] = out["rounds"][None]
-            out["work"] = out["work"][None]
-            out["nodes"] = out["nodes"][None]
-            return out
-
-        lane = P("enum")
-        run = shard_map(
-            shard_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(), P(), lane, lane, P()),
-            out_specs={"x": lane, "dx": lane, "ddx": lane, "center": lane,
-                       "partdist": lane, "cs": lane, "k": lane,
-                       "active": lane, "lane_root": lane, "A": P(),
-                       "best_dist": lane, "best_dev": lane,
-                       "best_root": lane, "sol_count": lane, "nodes": lane,
-                       "cursor": lane, "rounds": lane, "work": lane},
-            check_vma=False)
-
+        run = _build_sharded_run(
+            self.mesh, m, nfix_pad, bool(is_svp), bool(count_mode),
+            self.sync_steps, B, str(jnp.dtype(dt)))
+        ShardedEnumerator.launches += 1
         with self.mesh:
-            out = run(jnp.asarray(mut_pad), jnp.asarray(rdiag_pad),
-                      jnp.asarray(prune_pad), jnp.asarray(mut_fix_pad),
-                      jnp.asarray(cp0_pad), jnp.asarray(rx_flat),
-                      jnp.asarray(rpd_flat),
-                      jnp.asarray(A0, dtype=jnp.float64))
+            out = run(jnp.asarray(mut_pad, dt), jnp.asarray(rdiag_pad, dt),
+                      jnp.asarray(prune_pad, dt),
+                      jnp.asarray(mut_fix_pad, dt),
+                      jnp.asarray(cp0_pad, dt), jnp.asarray(rx_flat, dt),
+                      jnp.asarray(rpd_flat, dt),
+                      jnp.asarray(A0, dtype=dt))
 
         self.nodes[:m] += np.asarray(out["nodes"]).reshape(
             self.n_dev, m).sum(axis=0).astype(np.int64)

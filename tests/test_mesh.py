@@ -55,6 +55,63 @@ def test_sharded_matches_oracle(mesh, d, seed):
     assert se.nodes.sum() > 0
 
 
+def test_facade_routes_through_mesh(mesh, monkeypatch):
+    """With >1 device visible the enumeration facade must pick the
+    sharded multi-chip driver automatically (the analogue of enumlib
+    auto-registering as the default extenum,
+    /root/reference/fplll/enum/enumerate_ext.cpp:34-38)."""
+    from fplll_tpu.enum import tpu as enum_tpu
+    from fplll_tpu.enum.api import Enumeration
+
+    monkeypatch.setattr(enum_tpu, "_MIN_TPU_DIM", 12)
+    d, seed = 20, 2
+    RandGen.init_with_seed(seed)
+    b = gen.gen_uniform(d, 12)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001
+
+    ev_c = FastEvaluator()
+    EnumerationDyn(gso, ev_c).enumerate(0, d, A0, 0)
+    cnorm = exact_norm(b, ev_c.begin()[1])
+
+    before = ShardedEnumerator.launches
+    ev = FastEvaluator()
+    facade = Enumeration(gso, ev)
+    facade.enumerate(0, d, A0, 0)
+    assert ShardedEnumerator.launches > before
+    assert not ev.empty()
+    assert exact_norm(b, ev.begin()[1]) == cnorm
+    assert facade.get_nodes() > 0
+
+
+def test_sharded_f32_matches_f64(mesh):
+    """f32 sharded tree with bound slack must find the same shortest
+    vector as the f64 tree (candidates are re-verified exactly)."""
+    from fplll_tpu.jaxsetup import jnp
+
+    d, seed = 22, 9
+    RandGen.init_with_seed(seed)
+    b = gen.gen_uniform(d, 10)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    mut, rdiag, normexp = gso.export_mu_r(0, d)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001
+    A = math.ldexp(A0, -normexp)
+
+    sols = {}
+    for dt in (jnp.float64, jnp.float32):
+        ev = FastEvaluator()
+        ev.set_normexp(normexp)
+        se = ShardedEnumerator(mesh, batch_per_device=64, dtype=dt)
+        se.enumerate(mut, rdiag, None, np.zeros(d), A, True, ev)
+        assert not ev.empty()
+        sols[str(jnp.dtype(dt))] = exact_norm(b, ev.begin()[1])
+    assert sols["float32"] == sols["float64"]
+
+
 def test_sharded_count_mode(mesh, lattice_dir):
     """Leech list-CVP count through the mesh path."""
     from fplll_tpu.ops.intmat import read_matrix
