@@ -48,12 +48,20 @@ def _cround(x):
 
 
 
-def _make_step(mut, rdiag, prune, m: int, is_svp: bool, count_mode: bool):
+def _make_step(mut, rdiag, prune, m: int, is_svp: bool, count_mode: bool,
+               dual: bool = False, findsubsols: bool = False):
     """Shared lockstep step function over state arrays of width m.
 
     TPU-friendly formulation: every per-lane gather/scatter is expressed
     with one-hot masks and reductions (VPU/MXU lower these well; dynamic
     gathers do not), and counters are float (int64 is emulated on TPU).
+
+    dual: center partial sums accumulate alpha_j = x_j - c_j instead of
+    x_j (the reference's dual recurrence, enumerate_base.cpp:225-229);
+    the caller applies the reversed/inverted (mu, rdiag) transform.
+    findsubsols: per-level best-partial capture (evaluator.h:36-56) —
+    the step additionally returns ss_dist (m,), ss_x (m, m) this-step
+    per-level candidate minima for the caller to merge.
     """
     dtype = mut.dtype
     mut_t = mut.T
@@ -97,11 +105,25 @@ def _make_step(mut, rdiag, prune, m: int, is_svp: bool, count_mode: bool):
         nodes = st["nodes"] + jnp.sum(ohf * ok[:, None].astype(dtype),
                                        axis=0).astype(jnp.float64)
 
+        ss = {}
+        if findsubsols:
+            # per-level best partial this step (pre-update x): the lane
+            # with the smallest passing nonzero dist at each level
+            improving = ok & (newdist > zero)
+            cand = jnp.where(oh & improving[:, None], newdist[:, None],
+                             jnp.inf)                 # (B, m)
+            ss_dist = jnp.min(cand, axis=0)           # (m,)
+            ss_lane = jnp.argmin(cand, axis=0)        # (m,)
+            ss_x = jnp.where(cols[None, :] >= cols[:, None],
+                             x[ss_lane], zero)        # (m, m), rows=levels
+            ss = {"ss_dist": ss_dist, "ss_lane": ss_lane, "ss_x": ss_x}
+
         descend = ok & ~at_bottom
         mut_col = ohf @ mut_t                         # row k of mu columns
         below_k = cols[None, :] < kc[:, None]
+        wk = alpha if dual else xk
         cs = cs - jnp.where(descend[:, None] & below_k,
-                            xk[:, None] * mut_col, zero)
+                            wk[:, None] * mut_col, zero)
         k_down = kc - 1
         oh_down = (cols[None, :] == k_down[:, None])
         ohf_down = oh_down.astype(dtype)
@@ -130,7 +152,13 @@ def _make_step(mut, rdiag, prune, m: int, is_svp: bool, count_mode: bool):
         mut_col_s = ohf_s @ mut_t
         below_s = cols[None, :] < ks[:, None]
         xs = jnp.sum(x * ohf_s, axis=1)
-        cs = cs + jnp.where(asc[:, None] & below_s, xs[:, None] * mut_col_s,
+        if dual:
+            # restore the alpha contribution subtracted at descend time
+            # (center[ks] is unchanged since then, so xs - center_s is it)
+            ws = xs - jnp.sum(center * ohf_s, axis=1)
+        else:
+            ws = xs
+        cs = cs + jnp.where(asc[:, None] & below_s, ws[:, None] * mut_col_s,
                             zero)
 
         pds = jnp.sum(partdist * (pd_cols[None, :] == ks[:, None]).astype(dtype),
@@ -154,17 +182,18 @@ def _make_step(mut, rdiag, prune, m: int, is_svp: bool, count_mode: bool):
         return dict(x=x, dx=dx, ddx=ddx, center=center, partdist=partdist,
                     cs=cs, k=k, active=active, A=A_new, best_dist=best_dist,
                     best_dev=best_dev, sol_count=sol_count, nodes=nodes,
-                    better=better)
+                    better=better, **ss)
 
     return step
 
-@partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps"))
+@partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps",
+                                   "dual"))
 def _enum_steps(mut, rdiag, prune, state, m: int, is_svp: bool,
-                count_mode: bool, max_steps: int):
+                count_mode: bool, max_steps: int, dual: bool = False):
     """Advance all lanes until every lane finishes or max_steps elapse.
     State keys: x/dx/ddx/center/partdist/cs/k/active/A/best_dist/
     best_dev/sol_count/nodes/steps (counters in the float dtype)."""
-    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode)
+    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode, dual=dual)
 
     def body(st):
         steps = st["steps"]
@@ -180,10 +209,11 @@ def _enum_steps(mut, rdiag, prune, state, m: int, is_svp: bool,
 
 
 @partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps",
-                                   "batch"))
-def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
+                                   "batch", "dual", "findsubsols"))
+def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
               m: int, is_svp: bool, count_mode: bool,
-              max_steps: int, batch: int = 1024):
+              max_steps: int, batch: int = 1024, dual: bool = False,
+              findsubsols: bool = False):
     """Whole-enumeration kernel: lockstep DFS over B lanes with an
     ON-DEVICE root work queue — finished lanes pop the next subtree root
     inside the loop body, so an entire search is one launch (no host
@@ -191,21 +221,26 @@ def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
     enum-parallel/enumeration.h:412-505).
 
     roots_x: (R, nfix) fixed top coordinates per subtree (levels
-    m_real..d-1); roots_pd: (R,) partial dists, sorted ascending, padded
-    with +inf. mut_fix is (m, nfix) zero-padded over virtual levels.
-    Returns final state incl. per-lane best solutions (best_dev device
-    levels + best_root fixed levels).
+    m_real..d-1); roots_a: (R, nfix) the values accumulated into center
+    partial sums — x for primal, alpha for dual (same array for primal);
+    roots_pd: (R,) partial dists, sorted ascending, padded with +inf.
+    mut_fix is (m, nfix) zero-padded over virtual levels. Returns final
+    state incl. per-lane best solutions (best_dev device levels +
+    best_root fixed levels) and, when findsubsols, the per-level best
+    partials (subsol_dist/subsol_vec/subsol_root).
     """
     B = batch
     R = roots_x.shape[0]
     nfix = roots_x.shape[1]  # static via shape: padded to a bucket by caller
     dtype = mut.dtype
-    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode)
+    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode, dual=dual,
+                      findsubsols=findsubsols)
 
     def make_fresh(rx, rpd):
         """Lane state from root rows (vectorized prepare_enumeration).
         mut_fix has zero virtual rows and cp0 zero virtual entries, so the
-        full-width expression already zeroes virtual levels."""
+        full-width expression already zeroes virtual levels. rx here is
+        the accumulation value (roots_a rows)."""
         cs = cp0[None, :] - (rx @ mut_fix.T if nfix else 0.0)
         cs = jnp.broadcast_to(cs, (B, m)).astype(dtype)
         k0 = m - 1
@@ -223,10 +258,11 @@ def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
 
     idx0 = jnp.arange(B)
     rx0 = roots_x[jnp.clip(idx0, 0, R - 1)]
+    ra0 = roots_a[jnp.clip(idx0, 0, R - 1)]
     rpd0 = roots_pd[jnp.clip(idx0, 0, R - 1)]
     live0 = (idx0 < R) & jnp.isfinite(rpd0) & (rpd0 <= A0)
     x, dx, ddx, center, partdist, cs = make_fresh(
-        rx0, jnp.where(live0, rpd0, 0.0).astype(dtype))
+        ra0, jnp.where(live0, rpd0, 0.0).astype(dtype))
     st = {
         "x": x, "dx": dx, "ddx": ddx, "center": center,
         "partdist": partdist, "cs": cs,
@@ -242,12 +278,20 @@ def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
         "cursor": jnp.asarray(B, dtype=jnp.int32),
         "steps": jnp.asarray(0, dtype=jnp.int32),
     }
+    if findsubsols:
+        st["subsol_dist"] = rdiag.astype(dtype)   # reference init: r_kk
+        st["subsol_vec"] = jnp.zeros((m, m), dtype=dtype)
+        st["subsol_root"] = jnp.zeros((m, nfix), dtype=dtype)
 
     def body(st):
         lane_root = st["lane_root"]
         cursor = st["cursor"]
         steps = st["steps"]
         best_root_prev = st["best_root"]
+        if findsubsols:
+            ss_dist_prev = st.pop("subsol_dist")
+            ss_vec_prev = st.pop("subsol_vec")
+            ss_root_prev = st.pop("subsol_root")
         out = step(st)
         better = out.pop("better")
         out["best_root"] = jnp.where(better[:, None], lane_root,
@@ -256,6 +300,16 @@ def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
         out["lane_root"] = lane_root
         out["cursor"] = cursor
         out["steps"] = steps + 1
+        if findsubsols:
+            ss_dist = out.pop("ss_dist")
+            ss_lane = out.pop("ss_lane")
+            ss_x = out.pop("ss_x")
+            upd = ss_dist < ss_dist_prev
+            out["subsol_dist"] = jnp.where(upd, ss_dist, ss_dist_prev)
+            out["subsol_vec"] = jnp.where(upd[:, None], ss_x, ss_vec_prev)
+            out["subsol_root"] = jnp.where(upd[:, None], lane_root[ss_lane],
+                                           ss_root_prev) if nfix \
+                else ss_root_prev
 
         # ---- device-side refill from the root queue -----------------------
         need = ~out["active"] & (out["cursor"] < R)
@@ -267,10 +321,11 @@ def _enum_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
             can = needv & (ridx < R)
             ridx_c = jnp.clip(ridx, 0, R - 1)
             rx = roots_x[ridx_c].astype(dtype)
+            ra = roots_a[ridx_c].astype(dtype)
             rpd = roots_pd[ridx_c].astype(dtype)
             live = can & jnp.isfinite(rpd) & (rpd <= s["A"])
             fx, fdx, fddx, fcenter, fpartdist, fcs = make_fresh(
-                rx, jnp.where(live, rpd, 0.0))
+                ra, jnp.where(live, rpd, 0.0))
             sel = can[:, None]
             s = dict(s)
             s["x"] = jnp.where(sel, fx, s["x"])
@@ -320,13 +375,19 @@ class TPUEnumerator:
     # -- host-side root generation (layered top-tree expansion) -------------
     def _gen_roots(self, mut: np.ndarray, rdiag: np.ndarray,
                    prune: np.ndarray, cp0: np.ndarray, A: float,
-                   d: int, is_svp: bool) -> Tuple[np.ndarray, np.ndarray, int]:
+                   d: int, is_svp: bool, dual: bool = False,
+                   subsols: Optional[dict] = None
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
         """Expand the top of the tree level by level until enough subtree
-        roots exist. Returns (root_x (R, d-m), root_pd (R,), m); root_x
-        column j holds the coordinate of level m+j. Top-level node counts
-        are accumulated into self.nodes."""
+        roots exist. Returns (root_x (R, d-m), root_a (R, d-m),
+        root_pd (R,), m); root_x column j holds the coordinate of level
+        m+j and root_a the center-accumulation value (x for primal, alpha
+        for dual). Top-level node counts accumulate into self.nodes; when
+        subsols is a dict, per-level best partials found during expansion
+        are recorded into it as level -> (dist, x-tail)."""
         target = self.target_root_factor * self.batch
         xs = np.zeros((1, 0))
+        als = np.zeros((1, 0))
         pd = np.zeros(1)
         zero_prefix = np.array([is_svp])
         lvl = d - 1
@@ -335,7 +396,8 @@ class TPUEnumerator:
             if m_cand <= self.max_device_levels and \
                     (xs.shape[0] >= target or m_cand <= 2):
                 break
-            c = cp0[lvl] - (xs @ mut[lvl, lvl + 1:d] if xs.shape[1] else 0.0)
+            acc = als if dual else xs
+            c = cp0[lvl] - (acc @ mut[lvl, lvl + 1:d] if acc.shape[1] else 0.0)
             c = np.asarray(c, dtype=np.float64) + np.zeros(xs.shape[0])
             room = prune[lvl] * A - pd
             w = np.sqrt(np.maximum(room, 0.0) / rdiag[lvl])
@@ -352,22 +414,33 @@ class TPUEnumerator:
             a = xv - c[idx]
             pd = pd[idx] + a * a * rdiag[lvl]
             xs = np.concatenate([xv[:, None], xs[idx]], axis=1)
+            als = np.concatenate([a[:, None], als[idx]], axis=1)
             zero_prefix = zero_prefix[idx] & (xv == 0)
+            if subsols is not None and len(pd):
+                nz = pd > 0.0
+                if nz.any():
+                    i = int(np.argmin(np.where(nz, pd, np.inf)))
+                    prev = subsols.get(lvl)
+                    if prev is None or pd[i] < prev[0]:
+                        subsols[lvl] = (float(pd[i]), xs[i].copy())
             lvl -= 1
         m = lvl + 1
         keep = pd <= A
         # each level was prepended at column 0, so columns are already in
         # ascending level order m..d-1
-        return xs[keep], pd[keep], m
+        return xs[keep], als[keep], pd[keep], m
 
     # -- main entry ----------------------------------------------------------
     def enumerate(self, mut: np.ndarray, rdiag: np.ndarray,
                   prune: Optional[np.ndarray], cp0: np.ndarray, maxdist: float,
                   is_svp: bool, evaluator: Evaluator,
-                  count_mode: bool = False) -> Tuple[float, np.ndarray]:
+                  count_mode: bool = False,
+                  dual: bool = False) -> Tuple[float, np.ndarray]:
         """Search the full tree over levels [0, d). All quantities are in
         the normalized scale of the caller (2^-normexp, like the extenum
-        contract). Returns (final maxdist, per-level node counts)."""
+        contract); for dual the caller passes the already-transformed
+        (mu, rdiag) and un-reverses solutions. Returns (final maxdist,
+        per-level node counts)."""
         d = len(rdiag)
         mut = np.asarray(mut, dtype=np.float64)
         rdiag = np.asarray(rdiag, dtype=np.float64)
@@ -376,11 +449,15 @@ class TPUEnumerator:
         cp0 = np.asarray(cp0, dtype=np.float64)
         self.nodes = np.zeros(d, dtype=np.int64)
         A = float(maxdist)
+        findsubsols = bool(evaluator.findsubsols)
+        host_subsols: Optional[dict] = {} if findsubsols else None
 
-        roots_x, roots_pd, m_real = self._gen_roots(mut, rdiag, prune, cp0, A,
-                                                    d, is_svp)
+        roots_x, roots_a, roots_pd, m_real = self._gen_roots(
+            mut, rdiag, prune, cp0, A, d, is_svp, dual=dual,
+            subsols=host_subsols)
         order = np.argsort(roots_pd)
-        roots_x, roots_pd = roots_x[order], roots_pd[order]
+        roots_x, roots_a, roots_pd = (roots_x[order], roots_a[order],
+                                      roots_pd[order])
         nfix = d - m_real
 
         # pad the device tree height up to a bucket so the jitted kernel is
@@ -414,6 +491,11 @@ class TPUEnumerator:
         rpd_pad = np.full(R_pad, np.inf)
         rx_pad[:R, :nfix] = roots_x
         rpd_pad[:R] = roots_pd
+        if dual:
+            ra_pad = np.zeros((R_pad, nfix_pad))
+            ra_pad[:R, :nfix] = roots_a
+        else:
+            ra_pad = rx_pad
 
         dt = self.dtype
         # in f32 mode the virtual-level sentinel must stay representable
@@ -421,6 +503,7 @@ class TPUEnumerator:
             rdiag_pad[m_real:] = 1e30
         use_pallas = False
         if dt == jnp.float32 and self.batch % 128 == 0 and \
+                not dual and not findsubsols and \
                 __import__("os").environ.get("FPLLL_TPU_PALLAS", "1") != "0":
             from .pallas_kernel import pallas_available
             use_pallas = pallas_available()
@@ -437,11 +520,13 @@ class TPUEnumerator:
                 jnp.asarray(prune_pad, dt),
                 jnp.asarray(mut_fix_pad, dt),
                 jnp.asarray(cp0_pad, dt), jnp.asarray(rx_pad, dt),
+                jnp.asarray(ra_pad, dt),
                 jnp.asarray(rpd_pad, dt),
                 jnp.asarray(A * self.bound_slack, dtype=dt),
                 m=m, is_svp=bool(is_svp),
                 count_mode=bool(count_mode),
-                max_steps=1 << 30, batch=self.batch)
+                max_steps=1 << 30, batch=self.batch, dual=bool(dual),
+                findsubsols=findsubsols)
 
         self.nodes[:m] += np.asarray(state["nodes"]).astype(np.int64)
         bd = np.array(state["best_dist"])
@@ -454,6 +539,10 @@ class TPUEnumerator:
             for i in np.where(found)[0]]
         best_overall.sort(key=lambda t: t[0])
 
+        if findsubsols:
+            self._report_subsols(evaluator, state, host_subsols, m_real, nfix,
+                                 d)
+
         maxdist_out = maxdist
         if count_mode:
             evaluator.sol_count += int(np.asarray(state["sol_count"]).sum())
@@ -461,6 +550,35 @@ class TPUEnumerator:
         for dist, full in best_overall[:max(evaluator.max_sols * 4, 8)]:
             maxdist_out = evaluator.eval_sol(list(full), dist, maxdist_out)
         return maxdist_out, self.nodes
+
+    def _report_subsols(self, evaluator, state, host_subsols, m_real: int,
+                        nfix: int, d: int) -> None:
+        """Merge device per-level best partials (levels < m_real) with the
+        host expansion's records (levels >= m_real) into the evaluator
+        (reference: enumerate_base.cpp:203-207 process_subsolution)."""
+        ss_dist = np.asarray(state["subsol_dist"], dtype=np.float64)
+        ss_vec = np.asarray(state["subsol_vec"], dtype=np.float64)
+        ss_root = np.asarray(state["subsol_root"], dtype=np.float64)
+        if ss_dist.ndim == 2:      # mesh path: (n_dev, m) — merge devices
+            lane = np.argmin(ss_dist, axis=0)
+            cols = np.arange(ss_dist.shape[1])
+            ss_vec = ss_vec.reshape(ss_dist.shape[0], ss_dist.shape[1],
+                                    -1)[lane, cols]
+            ss_root = ss_root.reshape(ss_dist.shape[0], ss_dist.shape[1],
+                                      -1)[lane, cols]
+            ss_dist = ss_dist[lane, cols]
+        for lvl in range(m_real):
+            dist = float(ss_dist[lvl])
+            if not np.isfinite(dist) or dist <= 0.0:
+                continue
+            full = np.concatenate([ss_vec[lvl][:m_real], ss_root[lvl][:nfix]])
+            if not np.any(full):
+                continue  # level never improved on the initial r_kk record
+            evaluator.eval_sub_sol(lvl, [float(v) for v in full], dist)
+        if host_subsols:
+            for lvl, (dist, tail) in sorted(host_subsols.items()):
+                full = [0.0] * lvl + [float(v) for v in tail]
+                evaluator.eval_sub_sol(lvl, full, dist)
 
 
 # ---------------------------------------------------------------------------
@@ -499,10 +617,10 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     if last == -1:
         last = gso.d
     d = last - first
-    if dual or len(subtree) or d < _MIN_TPU_DIM or d > 1024:
+    if len(subtree) or d < _MIN_TPU_DIM or d > 1024:
         return None
-    if evaluator.findsubsols:
-        return None  # subsolution capture stays on the host oracle for now
+    if dual and len(target_coord):
+        return None  # CVP for dual undefined (enumerate.cpp:73)
     count_mode_req = getattr(evaluator, "eval_mode", 0) == 1
     if not count_mode_req and (evaluator.max_sols > 32 or
                                evaluator.strategy ==
@@ -516,6 +634,14 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     count_mode = getattr(evaluator, "eval_mode", 0) == 1  # EVALMODE_COUNT
 
     mut, rdiag, normexp = gso.export_mu_r(first, last)
+    if dual:
+        # reversed/inverted transform (enumerate.cpp:98-121): the tree then
+        # runs the alpha-accumulating dual recurrence in-kernel
+        normexp = -normexp
+        rd = np.asarray(rdiag, dtype=np.float64)
+        mu = np.asarray(mut, dtype=np.float64)
+        rdiag = (1.0 / (rd * 2.0 ** (-2 * normexp)))[::-1].copy()
+        mut = np.triu(-(mu.T)[::-1, ::-1], 1)
     maxdist = math.ldexp(fmaxdist, fmaxdistexpo - normexp)
     evaluator.set_normexp(normexp)
     is_svp = len(target_coord) == 0
@@ -526,7 +652,7 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
 
     # If the top of the tree is too wide (typically a CVP bound of
     # sum r_ii), tighten the radius with a budgeted host dive first.
-    if not count_mode:
+    if not count_mode and not dual:
         top_width = 2.0 * math.sqrt(max(maxdist, 0.0) / rdiag[d - 1]) + 1.0
         if top_width > 64.0:
             from ..native import get_lib
@@ -548,9 +674,11 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
                           math.lgamma(d / 2.0 + 1.0)) / d)
     trial = maxdist
     if not count_mode and maxdist > 4.0 * gh2:
-        # start far below GH and quadruple: failed small passes are cheap,
-        # and the first successful pass has a near-tight radius
-        trial = min(gh2 / 1024.0, maxdist)
+        # start below GH and grow geometrically: failed small passes cost
+        # one launch each, and the in-flight bound shrinking caps the
+        # overshoot of the first successful pass, so a coarse ladder
+        # (few launches) beats a fine one
+        trial = min(gh2 / 16.0, maxdist)
     total_nodes = np.zeros(d, dtype=np.int64)
     # f32 tree for heuristic searches (BKZ blocks: FastEvaluator + exact
     # postprocessing); f64 when the caller needs certified completeness
@@ -567,13 +695,18 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         enum = _make_enumerator(dtype)
         new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,
                                             is_svp, evaluator,
-                                            count_mode=count_mode)
+                                            count_mode=count_mode, dual=dual)
         total_nodes[:len(nodes)] += nodes
         found = (not evaluator.empty()) and \
             math.ldexp(evaluator.begin()[0], -normexp) <= trial * 1.0000001
         if count_mode or found or trial >= maxdist:
             break
-        trial = min(trial * 1.6, maxdist)
+        trial = min(trial * 2.5, maxdist)
+    if dual and not evaluator.empty():
+        # solutions are in dual (reversed) coordinate order
+        # (enumerate.cpp:154-157 reverse_by_swap); subsols stay unreversed
+        for i, (sdist, sol) in enumerate(evaluator.solutions):
+            evaluator.solutions[i] = (sdist, sol[::-1])
     return math.ldexp(min(new_maxdist, trial), normexp - fmaxdistexpo), \
         total_nodes
 

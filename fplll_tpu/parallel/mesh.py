@@ -57,22 +57,25 @@ def _sweep(mut, rdiag, prune, state, m: int, is_svp: bool, count_mode: bool,
     return state
 
 
-def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
+def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
               m: int, is_svp: bool, count_mode: bool, sync_steps: int,
-              max_rounds: int, batch: int):
+              max_rounds: int, batch: int, dual: bool = False,
+              findsubsols: bool = False):
     """Whole sharded enumeration in ONE launch: every device advances its
     lanes for sync_steps, then the shrinking radius is pmin-exchanged over
     ICI and a psum'd work flag decides termination — the collective
     schedule is identical on every shard, so the while_loop stays uniform.
-    Runs under shard_map with roots_x/roots_pd/lane state sharded on the
-    "enum" axis and mut/rdiag replicated."""
+    Runs under shard_map with roots_x/roots_a/roots_pd/lane state sharded
+    on the "enum" axis and mut/rdiag replicated. dual/findsubsols mirror
+    the single-chip kernel (fplll_tpu.enum.tpu._enum_run)."""
     from ..enum.tpu import _make_step, _cround
 
     B = batch
     R = roots_x.shape[0]
     nfix = roots_x.shape[1]
     dtype = mut.dtype
-    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode)
+    step = _make_step(mut, rdiag, prune, m, is_svp, count_mode, dual=dual,
+                      findsubsols=findsubsols)
 
     def make_fresh(rx, rpd):
         cs = cp0[None, :] - (rx @ mut_fix.T if nfix else 0.0)
@@ -92,10 +95,11 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
 
     idx0 = jnp.arange(B)
     rx0 = roots_x[jnp.clip(idx0, 0, R - 1)]
+    ra0 = roots_a[jnp.clip(idx0, 0, R - 1)]
     rpd0 = roots_pd[jnp.clip(idx0, 0, R - 1)]
     live0 = (idx0 < R) & jnp.isfinite(rpd0) & (rpd0 <= A0)
     x, dx, ddx, center, partdist, cs = make_fresh(
-        rx0, jnp.where(live0, rpd0, 0.0).astype(dtype))
+        ra0, jnp.where(live0, rpd0, 0.0).astype(dtype))
     st = {
         "x": x, "dx": dx, "ddx": ddx, "center": center,
         "partdist": partdist, "cs": cs,
@@ -112,11 +116,19 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
         "rounds": jnp.asarray(0, dtype=jnp.int32),
         "work": jnp.asarray(True),
     }
+    if findsubsols:
+        st["subsol_dist"] = rdiag.astype(dtype)
+        st["subsol_vec"] = jnp.zeros((m, m), dtype=dtype)
+        st["subsol_root"] = jnp.zeros((m, nfix), dtype=dtype)
 
     def local_step(_, s):
         lane_root = s["lane_root"]
         cursor = s["cursor"]
         best_root_prev = s["best_root"]
+        if findsubsols:
+            ss_dist_prev = s.pop("subsol_dist")
+            ss_vec_prev = s.pop("subsol_vec")
+            ss_root_prev = s.pop("subsol_root")
         out = step(s)
         better = out.pop("better")
         out["best_root"] = jnp.where(better[:, None], lane_root,
@@ -126,6 +138,16 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
         out["cursor"] = cursor
         out["rounds"] = s["rounds"]
         out["work"] = s["work"]
+        if findsubsols:
+            ss_dist = out.pop("ss_dist")
+            ss_lane = out.pop("ss_lane")
+            ss_x = out.pop("ss_x")
+            upd = ss_dist < ss_dist_prev
+            out["subsol_dist"] = jnp.where(upd, ss_dist, ss_dist_prev)
+            out["subsol_vec"] = jnp.where(upd[:, None], ss_x, ss_vec_prev)
+            out["subsol_root"] = jnp.where(upd[:, None], lane_root[ss_lane],
+                                           ss_root_prev) if nfix \
+                else ss_root_prev
 
         need = ~out["active"] & (out["cursor"] < R)
 
@@ -136,10 +158,11 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
             can = needv & (ridx < R)
             ridx_c = jnp.clip(ridx, 0, R - 1)
             rx = roots_x[ridx_c].astype(dtype)
+            ra = roots_a[ridx_c].astype(dtype)
             rpd = roots_pd[ridx_c].astype(dtype)
             live = can & jnp.isfinite(rpd) & (rpd <= t["A"])
             fx, fdx, fddx, fcenter, fpartdist, fcs = make_fresh(
-                rx, jnp.where(live, rpd, 0.0))
+                ra, jnp.where(live, rpd, 0.0))
             sel = can[:, None]
             t = dict(t)
             t["x"] = jnp.where(sel, fx, t["x"])
@@ -182,36 +205,48 @@ _RUN_CACHE = {}
 
 def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
                        count_mode: bool, sync_steps: int, batch: int,
-                       dtype_str: str):
+                       dtype_str: str, dual: bool = False,
+                       findsubsols: bool = False):
     """Jitted shard_mapped whole-search launch, cached per static config
     (shapes are bucketed by the caller so BKZ's repeated block calls hit
     this cache instead of retracing)."""
     dev_key = tuple(d.id for d in mesh.devices.flat)
-    key = (dev_key, m, nfix, is_svp, count_mode, sync_steps, batch, dtype_str)
+    key = (dev_key, m, nfix, is_svp, count_mode, sync_steps, batch,
+           dtype_str, dual, findsubsols)
     if key in _RUN_CACHE:
         return _RUN_CACHE[key]
 
-    def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, rpd_a, A_a):
+    def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, ra_a,
+                 rpd_a, A_a):
         out = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
-                        rx_a, rpd_a, A_a, m=m, is_svp=is_svp,
+                        rx_a, ra_a, rpd_a, A_a, m=m, is_svp=is_svp,
                         count_mode=count_mode, sync_steps=sync_steps,
-                        max_rounds=1 << 22, batch=batch)
+                        max_rounds=1 << 22, batch=batch, dual=dual,
+                        findsubsols=findsubsols)
         out["cursor"] = out["cursor"][None]
         out["rounds"] = out["rounds"][None]
         out["work"] = out["work"][None]
         out["nodes"] = out["nodes"][None]
+        if findsubsols:
+            out["subsol_dist"] = out["subsol_dist"][None]
+            out["subsol_vec"] = out["subsol_vec"][None]
+            out["subsol_root"] = out["subsol_root"][None]
         return out
 
     lane = P("enum")
+    specs = {"x": lane, "dx": lane, "ddx": lane, "center": lane,
+             "partdist": lane, "cs": lane, "k": lane,
+             "active": lane, "lane_root": lane, "A": P(),
+             "best_dist": lane, "best_dev": lane,
+             "best_root": lane, "sol_count": lane, "nodes": lane,
+             "cursor": lane, "rounds": lane, "work": lane}
+    if findsubsols:
+        specs.update({"subsol_dist": lane, "subsol_vec": lane,
+                      "subsol_root": lane})
     run = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), lane, lane, P()),
-        out_specs={"x": lane, "dx": lane, "ddx": lane, "center": lane,
-                   "partdist": lane, "cs": lane, "k": lane,
-                   "active": lane, "lane_root": lane, "A": P(),
-                   "best_dist": lane, "best_dev": lane,
-                   "best_root": lane, "sol_count": lane, "nodes": lane,
-                   "cursor": lane, "rounds": lane, "work": lane},
+        in_specs=(P(), P(), P(), P(), P(), lane, lane, lane, P()),
+        out_specs=specs,
         check_vma=False)
     out = jax.jit(run)
     _RUN_CACHE[key] = out
@@ -248,7 +283,7 @@ class ShardedEnumerator:
     def enumerate(self, mut: np.ndarray, rdiag: np.ndarray,
                   prune: Optional[np.ndarray], cp0: np.ndarray,
                   maxdist: float, is_svp: bool, evaluator,
-                  count_mode: bool = False):
+                  count_mode: bool = False, dual: bool = False):
         from ..enum.tpu import TPUEnumerator
 
         d = len(rdiag)
@@ -258,13 +293,17 @@ class ShardedEnumerator:
         prune_arr = (np.ones(d) if prune is None or len(prune) == 0
                      else np.asarray(prune, dtype=np.float64))
         cp0 = np.asarray(cp0, dtype=np.float64)
+        findsubsols = bool(evaluator.findsubsols)
+        host_subsols = {} if findsubsols else None
         helper = TPUEnumerator(batch=self.batch_per_device * self.n_dev,
                                max_device_levels=self.max_device_levels)
         helper.nodes = self.nodes
-        roots_x, roots_pd, m_real = helper._gen_roots(
-            mut, rdiag, prune_arr, cp0, float(maxdist), d, is_svp)
+        roots_x, roots_a, roots_pd, m_real = helper._gen_roots(
+            mut, rdiag, prune_arr, cp0, float(maxdist), d, is_svp,
+            dual=dual, subsols=host_subsols)
         order = np.argsort(roots_pd)
-        roots_x, roots_pd = roots_x[order], roots_pd[order]
+        roots_x, roots_a, roots_pd = (roots_x[order], roots_a[order],
+                                      roots_pd[order])
         nfix = d - m_real
 
         m = min(((m_real + 7) // 8) * 8, self.max_device_levels)
@@ -296,13 +335,17 @@ class ShardedEnumerator:
         while R_per * self.n_dev < R:
             R_per *= 2
         rx_sh = np.zeros((self.n_dev, R_per, nfix_pad))
+        ra_sh = np.zeros((self.n_dev, R_per, nfix_pad))
         rpd_sh = np.full((self.n_dev, R_per), np.inf)
         for dev in range(self.n_dev):
             sel_x = roots_x[dev::self.n_dev]
+            sel_a = roots_a[dev::self.n_dev]
             sel_p = roots_pd[dev::self.n_dev]
             rx_sh[dev, :len(sel_p), :nfix] = sel_x
+            ra_sh[dev, :len(sel_p), :nfix] = sel_a if dual else sel_x
             rpd_sh[dev, :len(sel_p)] = sel_p
         rx_flat = rx_sh.reshape(self.n_dev * R_per, nfix_pad)
+        ra_flat = ra_sh.reshape(self.n_dev * R_per, nfix_pad)
         rpd_flat = rpd_sh.reshape(self.n_dev * R_per)
 
         B = self.batch_per_device
@@ -310,13 +353,15 @@ class ShardedEnumerator:
 
         run = _build_sharded_run(
             self.mesh, m, nfix_pad, bool(is_svp), bool(count_mode),
-            self.sync_steps, B, str(jnp.dtype(dt)))
+            self.sync_steps, B, str(jnp.dtype(dt)), dual=bool(dual),
+            findsubsols=findsubsols)
         ShardedEnumerator.launches += 1
         with self.mesh:
             out = run(jnp.asarray(mut_pad, dt), jnp.asarray(rdiag_pad, dt),
                       jnp.asarray(prune_pad, dt),
                       jnp.asarray(mut_fix_pad, dt),
                       jnp.asarray(cp0_pad, dt), jnp.asarray(rx_flat, dt),
+                      jnp.asarray(ra_flat, dt),
                       jnp.asarray(rpd_flat, dt),
                       jnp.asarray(A0, dtype=dt))
 
@@ -331,6 +376,9 @@ class ShardedEnumerator:
              np.concatenate([bdev[i][:m_real], broot[i][:nfix]]))
             for i in np.where(found)[0]]
         best_overall.sort(key=lambda t: t[0])
+        if findsubsols:
+            helper._report_subsols(evaluator, out, host_subsols, m_real,
+                                   nfix, d)
         maxdist_out = maxdist
         if count_mode:
             evaluator.sol_count += int(np.asarray(out["sol_count"]).sum())

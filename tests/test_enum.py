@@ -113,6 +113,85 @@ def test_subtree_enumeration():
             assert sol[10] == 0.0 and sol[11] == 0.0
 
 
+@pytest.mark.parametrize("mesh_on", ["1", "0"])
+@pytest.mark.parametrize("d,seed", [(16, 2), (22, 5)])
+def test_kernel_dual_matches_oracle(d, seed, mesh_on, monkeypatch):
+    """Dual SVP through the device kernel (facade-routed) must find a dual
+    vector of the same projected length as the host oracle
+    (enumerate_base.cpp:225-229 dual recurrence)."""
+    from fplll_tpu.enum import tpu as enum_tpu
+
+    monkeypatch.setattr(enum_tpu, "_MIN_TPU_DIM", 12)
+    monkeypatch.setenv("FPLLL_TPU_MESH", mesh_on)
+    b, gso = setup(d, seed)
+    # initial dual bound: the largest 1/r_ii is a valid dual vector length
+    A0 = max(1.0 / float(gso.get_r(i, i)) for i in range(d)) * 1.00001
+
+    ev_c = FastEvaluator()
+    dyn = EnumerationDyn(gso, ev_c)
+    dyn.enumerate(0, d, A0, 0, dual=True)
+    assert not ev_c.empty()
+
+    ev_t = FastEvaluator()
+    facade = Enumeration(gso, ev_t)
+    facade.enumerate(0, d, A0, 0, dual=True)
+    assert not ev_t.empty()
+    # same best dual length (stored dists are in the caller scale)
+    assert ev_t.begin()[0] == pytest.approx(ev_c.begin()[0], rel=1e-9)
+    # coordinates are un-reversed like the oracle's
+    assert len(ev_t.begin()[1]) == d
+    assert facade.get_nodes() > 0
+
+
+@pytest.mark.parametrize("mesh_on", ["1", "0"])
+@pytest.mark.parametrize("d,seed", [(18, 3), (24, 7)])
+def test_kernel_subsols_match_oracle(d, seed, mesh_on, monkeypatch):
+    """Per-level best-partial capture in the device kernel: every recorded
+    subsolution must be a valid partial vector whose recomputed projected
+    distance equals the recorded one, and at least as short as the host
+    oracle's record at that level (evaluator.h:36-56; the visited node
+    sets differ by bound staleness exactly as in enumlib, so 'no longer
+    than the oracle's' is the parity contract)."""
+    from fplll_tpu.enum import tpu as enum_tpu
+
+    monkeypatch.setattr(enum_tpu, "_MIN_TPU_DIM", 12)
+    monkeypatch.setenv("FPLLL_TPU_MESH", mesh_on)
+    b, gso = setup(d, seed)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001
+    mut, rdiag, normexp = gso.export_mu_r(0, d)
+    mut = np.asarray(mut)
+    rdiag = np.asarray(rdiag)
+
+    ev_c = FastEvaluator(find_subsolutions=True)
+    EnumerationDyn(gso, ev_c).enumerate(0, d, A0, 0)
+    assert any(v for _, v in ev_c.sub_solutions)
+
+    ev_t = FastEvaluator(find_subsolutions=True)
+    facade = Enumeration(gso, ev_t)
+    facade.enumerate(0, d, A0, 0)
+    assert not ev_t.empty()
+    assert any(v for _, v in ev_t.sub_solutions)
+
+    recorded = 0
+    for lvl, (dist, vec) in enumerate(ev_t.sub_solutions):
+        if not vec:
+            continue
+        recorded += 1
+        x = np.asarray(vec, dtype=np.float64)
+        assert np.all(x[:lvl] == 0.0)
+        # recompute the projected distance sum_{i>=lvl} alpha_i^2 r_i
+        alpha = np.zeros(d)
+        for i in range(d - 1, lvl - 1, -1):
+            center = -float(np.dot(x[i + 1:], mut[i, i + 1:]))
+            alpha[i] = x[i] - center
+        true_dist = math.ldexp(
+            float(np.sum(alpha[lvl:] ** 2 * rdiag[lvl:])), normexp)
+        assert dist == pytest.approx(true_dist, rel=1e-6)
+        if lvl < len(ev_c.sub_solutions) and ev_c.sub_solutions[lvl][1]:
+            assert dist <= ev_c.sub_solutions[lvl][0] * (1 + 1e-9)
+    assert recorded >= 1
+
+
 @pytest.mark.parametrize("target_offset", [0.0, 0.0001])
 def test_leech_list_cvp_count(lattice_dir, target_offset):
     """The Leech lattice has 196560 minimal vectors; list-CVP around (near)
