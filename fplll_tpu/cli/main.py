@@ -234,7 +234,7 @@ def do_pru(o: Options, b: IntMat) -> int:
                      o.prune_end, o.prune_pre_nodes, o.prune_min_prob,
                      o.bkz_gh_factor)
     print("# pruning coefficients:")
-    print(format_vector([round(c, 6) for c in res.coefficients]))
+    print("[" + " ".join(f"{c:.6g}" for c in res.coefficients) + "]")
     print(f"# expectation: {res.expectation}")
     return 0
 

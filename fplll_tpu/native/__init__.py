@@ -265,6 +265,57 @@ def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
 
 
 # ---------------------------------------------------------------------------
+# pruner_core: compiled cost/probability kernels for the pruning optimizer
+# ---------------------------------------------------------------------------
+_PRUNER_LIB = None
+_PRUNER_TRIED = False
+
+
+def _build_pruner() -> Optional[ctypes.CDLL]:
+    src = os.path.join(_HERE, "pruner_core.c")
+    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
+                               os.path.expanduser("~/.cache/fplll_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "pruner_core.so")
+    if not os.path.exists(so_path) or \
+            os.path.getmtime(so_path) < os.path.getmtime(src):
+        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+               "-o", so_path, src, "-lm"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            try:
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (OSError, subprocess.SubprocessError):
+                return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.pruner_rel_vol.restype = ctypes.c_double
+    lib.pruner_rel_vol.argtypes = [ctypes.c_int, dptr]
+    lib.pruner_cost_evec.restype = ctypes.c_double
+    lib.pruner_cost_evec.argtypes = [ctypes.c_int, dptr, dptr,
+                                     ctypes.c_double, ctypes.c_double,
+                                     ctypes.c_void_p]
+    lib.pruner_svp_prob_evec.restype = ctypes.c_double
+    lib.pruner_svp_prob_evec.argtypes = [ctypes.c_int, dptr,
+                                         ctypes.c_double]
+    return lib
+
+
+def get_pruner_lib() -> Optional[ctypes.CDLL]:
+    global _PRUNER_LIB, _PRUNER_TRIED
+    if not _PRUNER_TRIED:
+        _PRUNER_TRIED = True
+        _PRUNER_LIB = _build_pruner()
+    return _PRUNER_LIB
+
+
+# ---------------------------------------------------------------------------
 # fpnum: compiled dpe/dd/qd scalar tower (CPython extension, built on demand)
 # ---------------------------------------------------------------------------
 _FPNUM = None

@@ -52,19 +52,33 @@ def _eval_poly(ld: int, p, x):
     return acc
 
 
+def _native_lib():
+    from ..native import get_pruner_lib
+    return get_pruner_lib()
+
+
 def _relative_volume(rd: int, b) -> float:
     """Relative volume of the even cylinder-intersection body
-    (pruner_simplex.h:28-46)."""
-    P = [0.0] * (rd + 2)
-    P[0] = 1.0
+    (pruner_simplex.h:28-46). Dispatches to the compiled core when the
+    toolchain is available; the Python loop below is the oracle."""
+    lib = _native_lib()
+    if lib is not None:
+        return float(lib.pruner_rel_vol(
+            rd, np.ascontiguousarray(b[:rd], dtype=np.float64)))
+    # Fallback oracle: x86 long double (64-bit mantissa) tames the
+    # catastrophic cancellation the same way the native dd path does.
+    one = np.longdouble(1.0)
+    P = [np.longdouble(0.0)] * (rd + 2)
+    P[0] = one
     ld = 0
+    binv = one / np.longdouble(b[rd - 1])
     for i in range(rd - 1, -1, -1):
         for k in range(ld, -1, -1):
-            P[k + 1] = P[k] / (k + 1.0)
-        P[0] = 0.0
+            P[k + 1] = P[k] / np.longdouble(k + 1.0)
+        P[0] = np.longdouble(0.0)
         ld += 1
-        P[0] = -_eval_poly(ld, P, b[i] / b[rd - 1])
-    res = P[0] * _TAB_FACTORIAL[rd]
+        P[0] = -_eval_poly(ld, P, np.longdouble(b[i]) * binv)
+    res = float(P[0] * np.longdouble(_TAB_FACTORIAL[rd]))
     return -res if (rd % 2) else res
 
 
@@ -85,6 +99,15 @@ class Pruner:
         self.metric = metric
         self.flags = flags
         self.verbose = bool(flags & PRUNER_VERBOSE)
+        # PRUNER_SINGLE selects the fixed-probability objective
+        # (pruner.h:327-336); mutually exclusive with PRUNER_HALF
+        self.opt_single = bool(flags & PRUNER_SINGLE)
+        if self.opt_single and (flags & PRUNER_HALF):
+            raise ValueError(
+                "flags PRUNER_HALF and PRUNER_SINGLE are mutually exclusive")
+        if metric == PRUNER_METRIC_PROBABILITY_OF_SHORTEST and \
+                not (0.0 < self.target < 1.0):
+            raise ValueError("invalid target for probability metric")
         # 0.5 for SVP symmetry; 1 for CVP (pruner.h:617)
         self.symmetry_factor = 1.0 if (flags & PRUNER_CVP) else 0.5
         self.shell_ratio = 0.995
@@ -144,6 +167,19 @@ class Pruner:
     # -- cost (pruner_cost.cpp:8-67) -----------------------------------------
     def _single_enum_cost_evec(self, b, detailed: Optional[list] = None) -> float:
         d, n = self.d, self.n
+        lib = _native_lib()
+        if lib is not None:
+            det = np.zeros(2 * d) if detailed is not None else None
+            total = float(lib.pruner_cost_evec(
+                d, np.ascontiguousarray(b, dtype=np.float64),
+                np.ascontiguousarray(self.ipv[:2 * d], dtype=np.float64),
+                self.normalized_radius, self.symmetry_factor,
+                det.ctypes.data if det is not None else None))
+            if detailed is not None:
+                detailed[:2 * d] = det.tolist()
+            if not math.isfinite(total):
+                raise OverflowError("NaN or inf in single_enum_cost")
+            return total
         rv = np.zeros(2 * d)
         for i in range(d):
             rv_odd = _relative_volume(i + 1, b)
@@ -180,6 +216,14 @@ class Pruner:
     # -- success metrics (pruner_prob.cpp) -----------------------------------
     def _svp_probability_evec(self, b) -> float:
         d = self.d
+        lib = _native_lib()
+        if lib is not None:
+            res = float(lib.pruner_svp_prob_evec(
+                d, np.ascontiguousarray(b, dtype=np.float64),
+                self.shell_ratio))
+            if not math.isfinite(res):
+                raise OverflowError("NaN or inf in svp_probability")
+            return res
         dx = self.shell_ratio
         bmdb = np.minimum(np.asarray(b) / (dx * dx), 1.0)
         vol = _relative_volume(d, b)
@@ -190,11 +234,18 @@ class Pruner:
             raise OverflowError("NaN or inf in svp_probability")
         return res
 
-    def measure_metric(self, pr) -> float:
-        b = self._coerce(pr)
+    def _measure_metric(self, b) -> float:
+        """INTERNAL-order overload (reference pruner.h:776 takes vec&
+        directly; the user-order one at pruner.h:578 reverses first).
+        The optimizer passes hold internal-order vectors — coercing them
+        again would double-reverse and feed a decreasing profile into
+        the simplex recurrence."""
         if self.metric == PRUNER_METRIC_PROBABILITY_OF_SHORTEST:
             return self._svp_probability(b)
         return self._expected_solutions(b)
+
+    def measure_metric(self, pr) -> float:
+        return self._measure_metric(self._coerce(pr))
 
     def _coerce(self, pr) -> np.ndarray:
         b = np.asarray(pr, dtype=np.float64)
@@ -377,33 +428,336 @@ class Pruner:
         if self.target_function(y) < self.target_function(b):
             b[:] = y
 
-    def optimize_coefficients(self, pr: List[float]) -> List[float]:
-        """Main entry (pruner.cpp optimize_coefficients): returns the full-
-        length coefficient vector (also written back into pr if given
-        non-empty)."""
-        d = self.d
+    # -- internal-order cost helper (used by the local-adjust passes) ---------
+    def _cost_detailed(self, b, detailed: list) -> float:
+        """single_enum_cost over an INTERNAL-order vector (evec or full),
+        filling `detailed` (n entries, user order) — the reference's
+        single_enum_cost(vec&, vector<double>*) overload
+        (pruner_cost.cpp:97-113: full vectors average the lower/upper
+        evec costs; detailed keeps the upper call's values)."""
+        b = np.asarray(b, dtype=np.float64)
+        while len(detailed) < self.n:
+            detailed.append(0.0)
+        if len(b) == self.d:
+            return self._single_enum_cost_evec(b, detailed)
+        return 0.5 * (self._single_enum_cost_evec(b[0::2], detailed) +
+                      self._single_enum_cost_evec(b[1::2], detailed))
+
+    # -- greedy init (pruner_optimize_tc.cpp greedy) --------------------------
+    def _greedy(self) -> np.ndarray:
+        """Greedy pruning profile: walk the odd levels outward, shrinking
+        each coefficient until the level's node count fits a parabolic
+        width budget (pruner_optimize_tc.cpp:683-737)."""
+        n, d = self.n, self.d
+        self.min_pruning_coefficients[:] = 0.0
+        b = np.ones(d)
+        for j in range(1, 2 * d - 1, 2):
+            i = j // 2
+            if i > 1:
+                b[i] = 1.0 if b[i - 1] > .9 else 1.1 * b[i - 1]
+            goal_factor = 1.0 / (3.0 * n) + 4.0 * j * (n - j) / float(n) ** 3
+            nodes = 1.0 + 1e10 * self.preproc_cost
+            while nodes > goal_factor * self.preproc_cost and b[i] > .001:
+                b[i] *= .98
+                b[:i] = np.minimum(b[:i], b[i])
+                nodes = _relative_volume((j + 1) // 2, b) \
+                    * _TAB_BALL_VOL[j + 1] \
+                    * (self.normalized_radius * math.sqrt(b[i])) ** (j + 1) \
+                    * self.ipv[j] * self.symmetry_factor
+        return b
+
+    def _assign(self, pr, out: List[float]) -> None:
+        if isinstance(pr, list):
+            pr[:] = out
+
+    # -- stage drivers (pruner_optimize.cpp / _tc.cpp) ------------------------
+    def optimize_coefficients_preparation(self, pr) -> None:
+        """Raw starting coefficients + min-coefficient floor
+        (pruner_optimize_tc.cpp:11-60)."""
         if (self.flags & PRUNER_START_FROM_INPUT) and len(pr) == self.n:
-            b = self._load_coefficients(pr, full=False)  # evec warm start
+            b = self._load_coefficients(pr, full=False)
         else:
-            # greedy linear-ish init
-            b = np.linspace(0.3, 1.0, d) ** 1.0
-        self.enforce(b)
+            b = self._greedy()
+        if self.flags & (PRUNER_GRADIENT | PRUNER_NELDER_MEAD):
+            # lower bound for enforce(): greedy at 10x cheaper preproc
+            self.preproc_cost *= .1
+            saved_b = b.copy()
+            self.min_pruning_coefficients = self._greedy()
+            b = saved_b
+            if not self.opt_single:
+                # for fixed-prob optimization the floor must not already
+                # overshoot the target probability
+                pr_min = self._save_coefficients(
+                    self.min_pruning_coefficients)
+                if self._measure_metric(self.min_pruning_coefficients) \
+                        > self.target:
+                    self.min_pruning_coefficients[:] = 0.0
+                    self.optimize_coefficients_decr_prob(pr_min)
+                    self.min_pruning_coefficients = \
+                        self._load_coefficients(pr_min, full=False)
+            self.preproc_cost *= 10
+        self._assign(pr, self._save_coefficients(b))
+
+    def optimize_coefficients_evec_core(self, pr) -> None:
+        """Gradient descent + Nelder-Mead under the b_{2i} = b_{2i+1}
+        constraint (pruner_optimize_tc.cpp:73-115)."""
+        b = self._load_coefficients(pr, full=False)
         if self.flags & PRUNER_GRADIENT:
             self._gradient_descent(b)
         if self.flags & PRUNER_NELDER_MEAD:
             self._nelder_mead(b)
+        self._assign(pr, self._save_coefficients(b))
+
+    def optimize_coefficients_full_core(self, pr) -> None:
+        """Unconstrained (full-length) descent + Nelder-Mead
+        (pruner_optimize_tc.cpp:130-180)."""
+        b = self._load_coefficients(pr, full=True)
+        if self.flags & PRUNER_GRADIENT:
+            self._gradient_descent(b)
+        if self.flags & PRUNER_NELDER_MEAD:
+            self._nelder_mead(b)
+        self._assign(pr, self._save_coefficients(b))
+
+    def optimize_coefficients_evec(self, pr) -> None:
+        self.optimize_coefficients_preparation(pr)
+        self.optimize_coefficients_evec_core(pr)
+
+    def optimize_coefficients_full(self, pr) -> None:
+        self.optimize_coefficients_preparation(pr)
+        self.optimize_coefficients_full_core(pr)
+
+    # -- local-adjust heuristics (pruner_optimize_tc.cpp:183-457) -------------
+    def optimize_coefficients_local_adjust_decr_single(self, pr) -> None:
+        """Shrink the bottleneck coefficient toward its left neighbour
+        while the repeated-enum cost improves
+        (pruner_optimize_tc.cpp:186-278)."""
+        n = self.n
+        b = self._load_coefficients(pr, full=True)
+        detailed = [0.0] * n
+        slices = [10.0] * n
+        thresholds = [3] * n
+        lasti = -1
+        consecutive_fails = 0
+        improved_ratio = 0.995
+        while True:
+            old_cf = self.target_function(b)
+            old_cfs = self._cost_detailed(b, detailed)
+            # balance heuristic: stop once the single-enum cost is tiny
+            # next to the repeated cost (BALANCE_HEURISTIC_PRUNER_OPTIMIZE)
+            if old_cfs < math.sqrt(old_cf) / 10.0:
+                break
+            current_max, maxi = 0.0, 0
+            for i in range(n):
+                if i != (n - lasti - 1) and thresholds[n - i - 1] > 0 \
+                        and detailed[i] > current_max:
+                    current_max, maxi = detailed[i], i
+            ind = n - maxi - 1
+            if ind == 0:
+                break
+            old_b = b[ind]
+            b[ind] = b[ind] - (b[ind] - b[ind - 1]) / slices[ind]
+            new_cf = self.target_function(b)
+            if new_cf >= old_cf * improved_ratio:
+                b[ind] = old_b
+                lasti = ind
+                thresholds[lasti] -= 1
+                consecutive_fails += 1
+            else:
+                if slices[ind] < 1024:
+                    slices[ind] *= 1.05
+                consecutive_fails = 0
+            if consecutive_fails > 10:
+                break
+        self._assign(pr, self._save_coefficients(b))
+
+    def optimize_coefficients_local_adjust_incr_prob(self, pr) -> None:
+        """Raise coefficients below the bottleneck level to grow the
+        success probability while the repeated cost tolerates it
+        (pruner_optimize_tc.cpp:284-380)."""
+        n = self.n
+        b = self._load_coefficients(pr, full=True)
+        detailed = [0.0] * n
+        slices = [10.0] * n
+        old_cf0 = self.target_function(b)
+        tours = 0
+        while True:
+            tours += 1
+            old_cf = self.target_function(b)
+            old_cfs = self._cost_detailed(b, detailed)
+            current_max, maxi = 0.0, 0
+            for i in range(n):
+                if detailed[i] > current_max:
+                    current_max, maxi = detailed[i], i
+            ind = n - maxi - 1
+            if ind <= 1:
+                break
+            if old_cfs > math.sqrt(old_cf) / 10.0:
+                break
+            for i in range(ind, 0, -1):
+                if b[i] <= b[i - 1]:
+                    continue
+                trials = 0
+                while True:
+                    old_cf = self.target_function(b)
+                    old_b = b[i - 1]
+                    b[i - 1] = b[i - 1] + (b[i] - b[i - 1]) / slices[i - 1]
+                    new_cf = self.target_function(b)
+                    if new_cf >= old_cf * 1.2:
+                        b[i - 1] = old_b
+                        break
+                    if slices[i - 1] < 1024:
+                        slices[i - 1] *= 1.2
+                    trials += 1
+                    if trials >= 10:
+                        break
+            new_cf = self.target_function(b)
+            if new_cf > old_cf0 * 1.1 or tours > 4:
+                break
+        self._assign(pr, self._save_coefficients(b))
+
+    def optimize_coefficients_local_adjust_smooth(self, pr) -> None:
+        """Smooth discontinuities between consecutive coefficients
+        (pruner_optimize_tc.cpp:385-414)."""
+        n = self.n
+        b = self._load_coefficients(pr, full=True)
+        th = 1.0 / n
+        for i in range(1, n - 1):
+            lr = b[i] / b[i - 1] if b[i - 1] else 1.0
+            rr = b[i + 1] / b[i] if b[i] else 1.0
+            if lr and (rr / lr > 1.25 or rr / lr < 0.8):
+                b[i] = math.sqrt(b[i - 1] * b[i + 1])
+            if (b[i + 1] - b[i]) > th or (b[i] - b[i - 1]) > th:
+                b[i] = (b[i - 1] + b[i + 1]) / 2.0
+        self._assign(pr, self._save_coefficients(b))
+
+    # -- probability-targeting passes (pruner_optimize_tp.cpp) ----------------
+    _PROB_MINSTEP = 1e-4
+    _PROB_MAXSTEP = 1e4
+
+    def _prob_step_weights(self, b) -> np.ndarray:
+        """Per-index step weights: inverse cumulative level cost
+        (pruner_optimize_tp.cpp:33-49)."""
+        n = self.n
+        detailed = [0.0] * n
+        self._cost_detailed(b, detailed)
+        tail = np.cumsum(np.asarray(detailed)[::-1])[::-1]
+        weight = 1.0 / np.maximum(tail, 1e-300)
+        weight = np.maximum(weight, self._PROB_MINSTEP)
+        return weight / weight.sum()
+
+    def optimize_coefficients_incr_prob(self, pr) -> None:
+        """Increase coefficients (weighted) until the metric reaches the
+        target (pruner_optimize_tp.cpp:8-72)."""
+        b = self._load_coefficients(pr, full=True)
+        tours = 0
+        while tours <= self._PROB_MAXSTEP:
+            tours += 1
+            if self._measure_metric(b) >= self.target:
+                break
+            weight = self._prob_step_weights(b)
+            old_b = b.copy()
+            b = np.minimum(b + weight, 1.0)
+            self.enforce(b)
+            if np.array_equal(b, old_b):
+                break
+        self._assign(pr, self._save_coefficients(b))
+
+    def optimize_coefficients_decr_prob(self, pr) -> None:
+        """Decrease coefficients (weighted) until the metric drops to the
+        target (pruner_optimize_tp.cpp:74-140)."""
+        b = self._load_coefficients(pr, full=True)
+        tours = 0
+        while tours <= self._PROB_MAXSTEP:
+            tours += 1
+            if self._measure_metric(b) <= self.target:
+                break
+            weight = self._prob_step_weights(b)
+            old_b = b.copy()
+            b = np.maximum(b - weight, self._PROB_MINSTEP)
+            self.enforce(b)
+            if np.array_equal(b, old_b):
+                break
+        self._assign(pr, self._save_coefficients(b))
+
+    def optimize_coefficients_local_adjust_prob(self, pr) -> None:
+        """Uniform +-MINSTEP nudges until the metric is within 5% of the
+        target (pruner_optimize_tp.cpp:142-205)."""
+        b = self._load_coefficients(pr, full=True)
+        while True:
+            ratio = self._measure_metric(b) / self.target
+            if 0.95 < ratio < 1.05:
+                break
+            old_b = b.copy()
+            if ratio < 1:
+                b = np.minimum(b + self._PROB_MINSTEP, 1.0)
+            else:
+                b = np.maximum(b - self._PROB_MINSTEP, self._PROB_MINSTEP)
+            self.enforce(b)
+            if np.array_equal(b, old_b):
+                break
+        self._assign(pr, self._save_coefficients(b))
+
+    # -- top-level drivers (pruner_optimize.cpp) ------------------------------
+    _NUM_OPTIMIZATION_TOURS = 3
+
+    def optimize_coefficients_cost_vary_prob(self, pr) -> None:
+        """Minimize the repeated-enum cost, letting the success
+        probability float (pruner_optimize.cpp:8-100)."""
+        self.optimize_coefficients_preparation(pr)
+        self.optimize_coefficients_evec_core(pr)
+        b = self._load_coefficients(pr, full=True)
+        best_b = b.copy()
+        min_c = self.target_function(b)
         if not (self.flags & PRUNER_HALF):
-            # expand to full vector and fine-tune with descent again
-            full = np.repeat(b, 2)
-            self.enforce(full)
-            if self.flags & PRUNER_GRADIENT:
-                self._gradient_descent(full)
-            out = self._save_coefficients(full)
+            tours = 0
+            while tours < 20:  # safety cap; reference loops unboundedly
+                tours += 1
+                b = self._load_coefficients(pr, full=True)
+                old_c0 = self.target_function(b)
+                self.optimize_coefficients_local_adjust_decr_single(pr)
+                self.optimize_coefficients_local_adjust_incr_prob(pr)
+                self.optimize_coefficients_local_adjust_smooth(pr)
+                b = self._load_coefficients(pr, full=True)
+                old_c1 = self.target_function(b)
+                if old_c1 < min_c:
+                    min_c, best_b = old_c1, b.copy()
+                self.optimize_coefficients_full_core(pr)
+                b = self._load_coefficients(pr, full=True)
+                new_c = self.target_function(b)
+                if new_c < min_c:
+                    min_c, best_b = new_c, b.copy()
+                if new_c / old_c0 > 0.995 and \
+                        tours > self._NUM_OPTIMIZATION_TOURS:
+                    break
+            self._assign(pr, self._save_coefficients(best_b))
+
+    def optimize_coefficients_cost_fixed_prob(self, pr) -> None:
+        """Minimize the single-enum cost subject to hitting the target
+        probability (pruner_optimize.cpp:102-146)."""
+        self.optimize_coefficients_preparation(pr)
+        self.optimize_coefficients_evec_core(pr)
+        self.optimize_coefficients_local_adjust_smooth(pr)
+        self.optimize_coefficients_full_core(pr)
+        self.optimize_coefficients_local_adjust_smooth(pr)
+        b = self._load_coefficients(pr, full=True)
+        if self._measure_metric(b) <= self.target:
+            self.optimize_coefficients_incr_prob(pr)
         else:
-            out = self._save_coefficients(b)
-        if isinstance(pr, list):
-            pr[:] = out
-        return out
+            self.optimize_coefficients_decr_prob(pr)
+        self.optimize_coefficients_local_adjust_smooth(pr)
+        self.optimize_coefficients_local_adjust_prob(pr)
+
+    def optimize_coefficients(self, pr: List[float]) -> List[float]:
+        """Main entry (pruner_optimize.cpp:149-160): returns the full-
+        length coefficient vector (also written back into pr if given
+        non-empty)."""
+        work = list(pr) if len(pr) == self.n else [0.0] * self.n
+        if self.opt_single:
+            self.optimize_coefficients_cost_fixed_prob(work)
+        else:
+            self.optimize_coefficients_cost_vary_prob(work)
+        self._assign(pr, work)
+        return work
 
 
 # ---------------------------------------------------------------------------
@@ -416,8 +770,10 @@ def prune(enumeration_radius: float, preproc_cost: float, gso_r,
     """Optimize pruning coefficients; fills/returns a PruningParams."""
     from ..algs.bkz_param import PruningParams
     pr = Pruner(enumeration_radius, preproc_cost, gso_r, target, metric, flags)
-    coeffs = pr.optimize_coefficients([])
     out = pruning if pruning is not None else PruningParams()
+    # the reference hands pruning.coefficients straight to the optimizer
+    # (pruner.cpp:210) so PRUNER_START_FROM_INPUT sees the previous result
+    coeffs = pr.optimize_coefficients(list(getattr(out, "coefficients", []) or []))
     out.coefficients = coeffs
     out.gh_factor = enumeration_radius / pr.gaussian_heuristic()
     out.expectation = pr.measure_metric(coeffs)
