@@ -1,31 +1,39 @@
-"""Headline benchmark: enumeration throughput (nodes/sec) of the batched
-TPU kernel on a fixed-radius SVP counting workload.
+"""Headline benchmark: enumeration throughput plus an end-to-end BKZ-2.0
+run through the production facade.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-The workload is a deterministic dim-46 q-ary lattice, LLL-reduced, with
-the tree searched in count mode (fixed Gaussian-heuristic radius, no
-bound shrinking) for a fixed number of lockstep steps — the measurement
-therefore covers steady-state kernel throughput, not tree-shape luck.
+Three measurements (reference targets in BASELINE.md):
 
-vs_baseline compares against fplll's single-thread enumeration rate.
-The reference cannot be built in this container (no GMP/MPFR), so the
-baseline is pinned at 4.0e7 nodes/s — a typical single-core rate for
-fplll's compiled enumerators on modern x86, and consistent with the
-58M nodes/s our own native C re-implementation of the same loop reaches
-on this host (fplll publishes no numbers in-tree; see BASELINE.md).
+1. Kernel throughput — a deterministic dim-46 q-ary lattice, LLL-reduced,
+   tree searched in count mode (fixed Gaussian-heuristic radius) for a
+   fixed number of lockstep steps, swept over batch sizes 1024/4096/16384
+   so the batch-size cliff is visible. Steady-state kernel rate.
+2. Native single-core anchor — the SAME workload through our native C
+   re-implementation of fplll's sequential DFS (node-count-exact vs the
+   Python oracle), measured live on this host. This replaces the earlier
+   pinned 4e7 constant: the reference itself cannot be built in this
+   container (no GMP/MPFR headers), and the C core runs the identical
+   loop at the same per-node cost profile as fplll's compiled enumerator
+   (reference: enumerate_base.cpp:152-247).
+3. End-to-end BKZ-2.0 — block 40, dim 80, 2 tours, extreme pruning +
+   recursive preprocessing from the shipped strategies, run through the
+   public `bkz_reduction` facade (device enumeration engaged for every
+   block >= FPLLL_TPU_MIN_ENUM_DIM). Wall-clock + facade-counted nodes/s.
+
+vs_baseline = best kernel rate / measured native single-core rate.
+Skip the (slow) end-to-end leg with FPLLL_BENCH_E2E=0.
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
 import numpy as np
-
-BASELINE_NODES_PER_SEC = 4.0e7
 
 
 def build_problem(d: int = 46, seed: int = 7):
@@ -57,7 +65,7 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
     enum = TPUEnumerator(batch=batch, dtype=dtype)
     enum.nodes = np.zeros(d, dtype=np.int64)
     prune = np.ones(d)
-    roots_x, roots_pd, m_real = enum._gen_roots(
+    roots_x, _roots_a, roots_pd, m_real = enum._gen_roots(
         mut, rdiag, prune, np.zeros(d), radius, d, True)
     order = np.argsort(roots_pd)
     roots_x, roots_pd = roots_x[order], roots_pd[order]
@@ -94,7 +102,7 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
     else:
         args = tuple(jnp.asarray(a, dtype) for a in
                      (mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
-                      rx_pad, rpd_pad)) + (jnp.asarray(radius, dtype),)
+                      rx_pad, rx_pad, rpd_pad)) + (jnp.asarray(radius, dtype),)
 
         def run():
             return _enum_run(*args, max_steps=max_steps, **kw)
@@ -112,22 +120,103 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
     return nodes, dt, int(state["steps"])
 
 
+def measure_native_anchor(mut, rdiag, radius, budget: int = 30_000_000):
+    """Single-core nodes/s of the native C DFS on the same workload,
+    measured live (replaces the round-1 pinned 4e7 constant)."""
+    from fplll_tpu.native import native_enumerate
+    d = len(rdiag)
+    res = native_enumerate(mut, rdiag, None, None, radius, True, False, True,
+                           node_budget=budget // 10)  # warm the code path
+    if res is None:
+        return None
+    t0 = time.time()
+    res = native_enumerate(mut, rdiag, None, None, radius, True, False, True,
+                           node_budget=budget)
+    dt = time.time() - t0
+    visited = float(res[5])
+    return visited / max(dt, 1e-9)
+
+
+def measure_end_to_end(block: int = 40, d: int = 80, tours: int = 2,
+                       seed: int = 11):
+    """BKZ-2.0 through the public facade: wall-clock + facade node rate."""
+    from fplll_tpu.algs.bkz import BKZReduction, bkz_reduction
+    from fplll_tpu.algs.bkz_param import BKZParam, load_strategies_json
+    from fplll_tpu.algs.wrapper import lll_reduction
+    from fplll_tpu.defs import BKZ_MAX_LOOPS, BKZ_GH_BND
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops.gen import gen_qary_bits
+
+    RandGen.init_with_seed(seed)
+    b = gen_qary_bits(d, d // 2, 30)
+    lll_reduction(b)
+    param = BKZParam(block_size=block,
+                     strategies=load_strategies_json("default.json"),
+                     flags=BKZ_MAX_LOOPS | BKZ_GH_BND,
+                     max_loops=tours)
+    nodes_holder = {}
+    orig_bkz = BKZReduction.bkz
+
+    def spy(self, *a, **k):
+        try:
+            return orig_bkz(self, *a, **k)
+        finally:
+            nodes_holder["nodes"] = nodes_holder.get("nodes", 0) + self.nodes
+
+    BKZReduction.bkz = spy
+    try:
+        t0 = time.time()
+        bkz_reduction(b, param)
+        dt = time.time() - t0
+    finally:
+        BKZReduction.bkz = orig_bkz
+    nodes = nodes_holder.get("nodes", 0)
+    return dt, nodes, nodes / max(dt, 1e-9)
+
+
 def main() -> int:
     d = int(sys.argv[1]) if len(sys.argv) > 1 else 46
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-    max_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 400000
+    max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 400000
     from fplll_tpu.jaxsetup import jnp
     mut, rdiag, gh2 = build_problem(d)
+    radius = 1.1 * gh2
+
+    anchor = measure_native_anchor(mut, rdiag, radius)
+    anchor_src = "native_c_single_core_measured"
+    if anchor is None:           # toolchain unavailable: fall back to pin
+        anchor = 4.0e7
+        anchor_src = "pinned_typical_fplll_rate"
+
+    sweep = {}
     best = 0.0
-    for dtype in (jnp.float32,):
-        nodes, dt, steps = run_steps(mut, rdiag, 1.1 * gh2, batch, max_steps,
-                                     dtype)
-        best = max(best, nodes / max(dt, 1e-9))
+    for batch in (1024, 4096, 16384):
+        steps = max_steps if batch <= 4096 else max_steps // 2
+        nodes, dt, _ = run_steps(mut, rdiag, radius, batch, steps,
+                                 jnp.float32)
+        rate = nodes / max(dt, 1e-9)
+        sweep[f"B{batch}"] = round(rate, 1)
+        best = max(best, rate)
+
+    extra = {
+        "anchor_nodes_per_sec": round(anchor, 1),
+        "anchor_source": anchor_src,
+        "kernel_batch_sweep": sweep,
+    }
+    if os.environ.get("FPLLL_BENCH_E2E", "1") != "0":
+        try:
+            dt, nodes, rate = measure_end_to_end()
+            extra["bkz2_block40_dim80_2tours_wall_s"] = round(dt, 2)
+            extra["bkz2_block40_dim80_2tours_nodes"] = int(nodes)
+            extra["bkz2_end_to_end_nodes_per_sec"] = round(rate, 1)
+        except Exception as e:     # bench must still print its line
+            extra["end_to_end_error"] = repr(e)
+
     print(json.dumps({
         "metric": f"enum_nodes_per_sec_dim{d}",
         "value": round(best, 1),
         "unit": "nodes/s",
-        "vs_baseline": round(best / BASELINE_NODES_PER_SEC, 4),
+        "vs_baseline": round(best / anchor, 4),
+        "extra": extra,
     }))
     return 0
 

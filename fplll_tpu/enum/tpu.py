@@ -367,9 +367,12 @@ class TPUEnumerator:
         # f32 tree arithmetic is ~an order of magnitude faster on TPU than
         # emulated f64; candidates are re-verified exactly by the evaluator,
         # and the bound gets a relative slack so f32 rounding cannot prune
-        # the true solution (the reference runs its tree in f64, nr.h:41)
+        # the true solution (the reference runs its tree in f64, nr.h:41).
+        # dtype "dd32" selects the compensated f32-pair kernel (~48-bit
+        # mantissa, enum/dd_kernel.py) for certified/error-bounded trees.
         self.dtype = dtype if dtype is not None else jnp.float64
-        self.bound_slack = 1.0 + 1e-5 if self.dtype == jnp.float32 else 1.0
+        self.bound_slack = {jnp.float32: 1.0 + 1e-5,
+                            "dd32": 1.0 + 1e-9}.get(self.dtype, 1.0)
         self.nodes: np.ndarray = np.zeros(0, dtype=np.int64)
 
     # -- host-side root generation (layered top-tree expansion) -------------
@@ -498,8 +501,8 @@ class TPUEnumerator:
             ra_pad = rx_pad
 
         dt = self.dtype
-        # in f32 mode the virtual-level sentinel must stay representable
-        if dt == jnp.float32:
+        # in f32/dd32 mode the virtual-level sentinel must stay representable
+        if dt == jnp.float32 or dt == "dd32":
             rdiag_pad[m_real:] = 1e30
         use_pallas = False
         if dt == jnp.float32 and self.batch % 128 == 0 and \
@@ -507,7 +510,27 @@ class TPUEnumerator:
                 __import__("os").environ.get("FPLLL_TPU_PALLAS", "1") != "0":
             from .pallas_kernel import pallas_available
             use_pallas = pallas_available()
-        if use_pallas:
+        if dt == "dd32":
+            if findsubsols:
+                raise NotImplementedError(
+                    "dd32 kernel does not capture subsolutions; route "
+                    "findsubsols searches through f32/f64 or the host core")
+            from .dd_kernel import _enum_run_dd, split_dd
+            mh, ml = split_dd(mut_pad)
+            rh, rl = split_dd(rdiag_pad)
+            ph, pl = split_dd(prune_pad)
+            fh, fl = split_dd(mut_fix_pad)
+            ch, cl = split_dd(cp0_pad)
+            pdh, pdl = split_dd(rpd_pad)
+            Ah, Al = split_dd(np.float64(A * self.bound_slack))
+            state = _enum_run_dd(
+                mh, ml, rh, rl, ph, pl, fh, fl, ch, cl,
+                jnp.asarray(rx_pad, jnp.float32),
+                jnp.asarray(ra_pad, jnp.float32),
+                pdh, pdl, Ah, Al,
+                m=m, is_svp=bool(is_svp), count_mode=bool(count_mode),
+                max_steps=1 << 30, batch=self.batch, dual=bool(dual))
+        elif use_pallas:
             from .pallas_kernel import _enum_run_pallas
             state = _enum_run_pallas(
                 mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
@@ -529,7 +552,9 @@ class TPUEnumerator:
                 findsubsols=findsubsols)
 
         self.nodes[:m] += np.asarray(state["nodes"]).astype(np.int64)
-        bd = np.array(state["best_dist"])
+        bd = np.array(state["best_dist"], dtype=np.float64)
+        if dt == "dd32":
+            bd = bd + np.array(state["best_dist_lo"], dtype=np.float64)
         bdev = np.array(state["best_dev"])
         broot = np.array(state["best_root"])
         found = np.isfinite(bd)
@@ -600,6 +625,10 @@ def _make_enumerator(dtype):
 
     from ..threads import get_batch
     ndev = len(jax.devices())
+    if dtype == "dd32":
+        # the sharded driver does not carry dd state yet; certified trees
+        # stay single-chip (they are rare by construction — wrapper ladder)
+        return TPUEnumerator(batch=get_batch(), dtype=dtype)
     if ndev > 1 and os.environ.get("FPLLL_TPU_MESH", "1") != "0":
         from ..parallel.mesh import ShardedEnumerator, make_enum_mesh
         return ShardedEnumerator(
@@ -681,16 +710,19 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         trial = min(gh2 / 16.0, maxdist)
     total_nodes = np.zeros(d, dtype=np.int64)
     # f32 tree for heuristic searches (BKZ blocks: FastEvaluator + exact
-    # postprocessing); f64 when the caller needs certified completeness
-    # (error-bounded evaluators of the proved SVP/CVP drivers)
+    # postprocessing); certified completeness (error-bounded evaluators of
+    # the proved SVP/CVP drivers) needs >24-bit tree mantissa: f64 on hosts
+    # with hardware doubles, the compensated f32-pair kernel (~48-bit,
+    # enum/dd_kernel.py) on TPU where f64 is software-emulated. The
+    # reference runs all trees in hardware double (nr/nr.h:41); certified
+    # margins are computed by the evaluator in exact arithmetic either way.
     from .evaluator import ErrorBoundedEvaluator
     dtype = jnp.float64 if isinstance(evaluator, ErrorBoundedEvaluator) \
         else jnp.float32
     if dtype == jnp.float64 and jax.default_backend() == "tpu":
-        # certified error-bounded trees need real f64; TPU f64 is
-        # software-emulated (and unreliable on experimental attachments),
-        # so the proved SVP/CVP drivers keep the native host core
-        return None
+        if bool(evaluator.findsubsols) or dual:
+            return None   # dd32 kernel covers neither; host core does
+        dtype = "dd32"
     while True:
         enum = _make_enumerator(dtype)
         new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,
