@@ -93,8 +93,10 @@ def run_steps(mut, rdiag, radius, batch, max_steps, dtype):
 
     kw = dict(m=m, is_svp=True, count_mode=True, batch=batch)
     from fplll_tpu.enum.pallas_kernel import (pallas_available,
+                                              pallas_batch_fits,
                                               _enum_run_pallas)
-    if dtype == jnp.float32 and pallas_available():
+    if dtype == jnp.float32 and pallas_available() and \
+            pallas_batch_fits(m, batch):
         def run():
             return _enum_run_pallas(mut_pad, rdiag_pad, prune_pad,
                                     mut_fix_pad, cp0_pad, rx_pad, rpd_pad,

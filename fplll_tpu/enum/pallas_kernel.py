@@ -85,6 +85,17 @@ def pallas_available() -> bool:
         return False
 
 
+def pallas_batch_fits(m: int, batch: int,
+                      vmem_budget: int = 14 << 20) -> bool:
+    """True when the VMEM-resident state for (m, batch) fits the per-core
+    scoped-vmem limit (16M on v5e; leave headroom for mut tiles, the
+    matmul operand and compiler stack). The compiler's measured stack for
+    the chunk call is ~7 (m, B) f32 planes (five state planes plus
+    double-buffered copies) plus ~two dozen (1, B) rows — m=40, B=16384
+    allocates 17.4M against the 16M limit, so the gate must reject it."""
+    return (7 * m + 24) * 4 * batch <= vmem_budget
+
+
 def _cround(x):
     """C round(): halves away from zero, elementwise."""
     return jnp.trunc(x + jnp.where(x >= 0, jnp.float32(0.5),

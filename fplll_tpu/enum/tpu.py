@@ -508,8 +508,9 @@ class TPUEnumerator:
         if dt == jnp.float32 and self.batch % 128 == 0 and \
                 not dual and not findsubsols and \
                 __import__("os").environ.get("FPLLL_TPU_PALLAS", "1") != "0":
-            from .pallas_kernel import pallas_available
-            use_pallas = pallas_available()
+            from .pallas_kernel import pallas_available, pallas_batch_fits
+            use_pallas = pallas_available() and pallas_batch_fits(m,
+                                                                  self.batch)
         if dt == "dd32":
             if findsubsols:
                 raise NotImplementedError(

@@ -154,15 +154,15 @@ class Pruner:
         b = np.asarray(b, dtype=np.float64)
         if len(b) == self.d:
             return b
-        lo, hi = b[0::2], b[1::2]
+        lo, hi = b[0::2][:self.d], b[1::2][:self.d]
         return (lo + hi) / 2.0  # averaging role of lower/upper bounds
 
     def _full_cost(self, b) -> float:
         b = np.asarray(b, dtype=np.float64)
         if len(b) == self.d:
             return self._single_enum_cost_evec(b)
-        return 0.5 * (self._single_enum_cost_evec(b[0::2]) +
-                      self._single_enum_cost_evec(b[1::2]))
+        return 0.5 * (self._single_enum_cost_evec(b[0::2][:self.d]) +
+                      self._single_enum_cost_evec(b[1::2][:self.d]))
 
     # -- cost (pruner_cost.cpp:8-67) -----------------------------------------
     def _single_enum_cost_evec(self, b, detailed: Optional[list] = None) -> float:
@@ -210,8 +210,10 @@ class Pruner:
                 detailed_cost.append(0.0)
         if len(b) == self.d:
             return self._single_enum_cost_evec(b, detailed_cost)
-        return 0.5 * (self._single_enum_cost_evec(b[0::2], detailed_cost) +
-                      self._single_enum_cost_evec(b[1::2], detailed_cost))
+        return 0.5 * (self._single_enum_cost_evec(b[0::2][:self.d],
+                                                  detailed_cost) +
+                      self._single_enum_cost_evec(b[1::2][:self.d],
+                                                  detailed_cost))
 
     # -- success metrics (pruner_prob.cpp) -----------------------------------
     def _svp_probability_evec(self, b) -> float:
@@ -257,8 +259,8 @@ class Pruner:
         b = np.asarray(b, dtype=np.float64)
         if len(b) == self.d:
             return self._svp_probability_evec(b)
-        pl = self._svp_probability_evec(b[0::2])
-        pu = self._svp_probability_evec(b[1::2])
+        pl = self._svp_probability_evec(b[0::2][:self.d])
+        pu = self._svp_probability_evec(b[1::2][:self.d])
         return (pl + pu) / 2.0
 
     def svp_probability(self, pr) -> float:
@@ -278,8 +280,8 @@ class Pruner:
         b = np.asarray(b, dtype=np.float64)
         if len(b) == self.d:
             return self._expected_solutions_evec(b)
-        return 0.5 * (self._expected_solutions_evec(b[0::2]) +
-                      self._expected_solutions_evec(b[1::2]))
+        return 0.5 * (self._expected_solutions_evec(b[0::2][:self.d]) +
+                      self._expected_solutions_evec(b[1::2][:self.d]))
 
     def expected_solutions(self, pr) -> float:
         return self._expected_solutions(self._coerce(pr))
@@ -333,7 +335,10 @@ class Pruner:
         if len(pr) != self.n:
             return pr.copy()
         rev = pr[::-1].copy()
-        return rev if full else rev[0::2].copy()
+        # exactly d evec entries even when n is odd (reference
+        # load_coefficients reads pr[n-1-2i] for i < d,
+        # pruner_util.cpp:99-110)
+        return rev if full else rev[0::2][:self.d].copy()
 
     def _save_coefficients(self, b) -> List[float]:
         pr = [0.0] * self.n
@@ -440,8 +445,10 @@ class Pruner:
             detailed.append(0.0)
         if len(b) == self.d:
             return self._single_enum_cost_evec(b, detailed)
-        return 0.5 * (self._single_enum_cost_evec(b[0::2], detailed) +
-                      self._single_enum_cost_evec(b[1::2], detailed))
+        return 0.5 * (self._single_enum_cost_evec(b[0::2][:self.d],
+                                                  detailed) +
+                      self._single_enum_cost_evec(b[1::2][:self.d],
+                                                  detailed))
 
     # -- greedy init (pruner_optimize_tc.cpp greedy) --------------------------
     def _greedy(self) -> np.ndarray:
@@ -809,15 +816,27 @@ def run_pruner(b, sel_ft=None, precision: int = 0, prune_start: int = 0,
     (pruner.cpp:32-114 run_pruner_f)."""
     from ..core.gso import MatGSO
     from ..defs import GSO_ROW_EXPO, PRUNER_METRIC_EXPECTED_SOLUTIONS
+    from ..nr.fctx import MPCtx
     import math as _m
-    m = MatGSO(b, flags=GSO_ROW_EXPO)
-    m.update_gso()
     if prune_end == -1:
         prune_end = b.nrows
-    gso_r = []
-    for i in range(prune_start, prune_end):
-        v, e = m.get_r_exp(i, i)
-        gso_r.append(_m.ldexp(m.ctx.to_float(v), e))
+
+    def collect_r(ctx=None):
+        m = MatGSO(b, flags=GSO_ROW_EXPO, **({"ctx": ctx} if ctx else {}))
+        m.update_gso()
+        out = []
+        for i in range(prune_start, prune_end):
+            v, e = m.get_r_exp(i, i)
+            out.append(_m.ldexp(m.ctx.to_float(v), e))
+        return out
+
+    gso_r = collect_r()
+    if min(gso_r) <= 0.0:
+        # f64 cancellation on big-entry unreduced bases can produce
+        # nonpositive r; escalate precision like the wrapper ladder does
+        # (the reference's double path silently degrades here instead,
+        # pruner.cpp:64-88)
+        gso_r = collect_r(MPCtx(max(106, 10 + 2 * b.get_max_exp())))
     # radius: gh_factor * gaussian heuristic of the block
     n = len(gso_r)
     logvol = sum(_m.log(x) for x in gso_r)

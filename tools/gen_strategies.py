@@ -1,0 +1,142 @@
+"""Regenerate fplll_tpu/strategies/default.json with our own pruner.
+
+The reference ships precomputed BKZ-2.0 reduction strategies tuned up to
+block size 90 with several pruning-coefficient sets per block
+(/root/reference/NEWS:9-10; the file itself is stripped from the mirror,
+/root/reference/.MISSING_LARGE_BLOBS).  This tool reproduces that
+artifact with the in-tree GNR pruner (fplll_tpu/pruner): for every block
+size it optimizes pruning coefficients over a simulated-GSA block shape
+at several radius factors, warm-starting each factor from the previous
+one, and records [gh_factor, coefficients, expectation] triples in the
+byte-compatible strategies JSON format (bkz_param.cpp:80-157).
+
+Target success probabilities follow the extreme-pruning regime: ~0.5 per
+trial up to block 60 (one or two rerandomized trials), decaying to ~0.05
+by block 90 (many cheap trials — the BKZ driver loops until its
+min_success_probability budget is met, bkz.cpp:300-344).
+
+Usage:
+  python tools/gen_strategies.py --blocks 61:91 --out /tmp/frag_61_91.json
+  python tools/gen_strategies.py --merge /tmp/frag_*.json   # writes default.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GH_FACTORS = (1.0, 1.05, 1.1, 1.15)
+MIN_PRUNED_BLOCK = 26     # below this, unpruned enumeration is cheap enough
+
+
+def delta_beta(b: int) -> float:
+    """Root-Hermite factor of BKZ-beta (Chen's asymptotic formula)."""
+    return ((b / (2 * math.pi * math.e)) *
+            (math.pi * b) ** (1.0 / b)) ** (1.0 / (2 * (b - 1)))
+
+
+def gsa_shape(beta: int):
+    """Simulated GSO block of a BKZ-beta-reduced basis: geometric decay
+    with the GSA slope for this block size (norm scale cancels out)."""
+    ld = math.log(delta_beta(max(beta, 40)))
+    return [math.exp(-4.0 * ld * i) for i in range(beta)]
+
+
+def gh_of(r):
+    n = len(r)
+    logvol = sum(math.log(x) for x in r)
+    lb = (n / 2.0) * math.log(math.pi) - math.lgamma(n / 2.0 + 1.0)
+    return math.exp(logvol / n - 2.0 * lb / n)
+
+
+def target_prob(beta: int) -> float:
+    if beta <= 60:
+        return 0.5
+    return max(0.05, 0.5 - 0.45 * (beta - 60) / 30.0)
+
+
+def preproc_sizes(beta: int):
+    """Stack-calibrated rule from the round-1 calibration run: one
+    recursive preprocessing stage roughly 20 below the block."""
+    return [beta - 20] if beta - 20 >= 10 else []
+
+
+def gen_block(beta: int):
+    from fplll_tpu.pruner.pruner import prune
+    from fplll_tpu.defs import (PRUNER_GRADIENT, PRUNER_NELDER_MEAD,
+                                PRUNER_METRIC_PROBABILITY_OF_SHORTEST,
+                                PRUNER_START_FROM_INPUT)
+    from fplll_tpu.algs.bkz_param import PruningParams
+
+    r = gsa_shape(beta)
+    gh = gh_of(r)
+    sets = []
+    warm = PruningParams()
+    for gf in GH_FACTORS:
+        flags = PRUNER_GRADIENT | PRUNER_NELDER_MEAD
+        if warm.coefficients:
+            flags |= PRUNER_START_FROM_INPUT
+        warm = prune(gf * gh, 1e10, r, target_prob(beta),
+                     PRUNER_METRIC_PROBABILITY_OF_SHORTEST, flags,
+                     pruning=warm)
+        sets.append([round(warm.gh_factor, 6),
+                     [round(float(c), 6) for c in warm.coefficients],
+                     round(float(warm.expectation), 6)])
+    return {"block_size": beta,
+            "preprocessing_block_sizes": preproc_sizes(beta),
+            "pruning_parameters": sets}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", help="a:b python-range of block sizes")
+    ap.add_argument("--out", help="fragment output path")
+    ap.add_argument("--merge", nargs="*", help="fragment globs to merge")
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    default_path = os.path.join(here, "..", "fplll_tpu", "strategies",
+                                "default.json")
+
+    if args.merge is not None:
+        with open(default_path) as f:
+            current = {e["block_size"]: e for e in json.load(f)}
+        for pat in args.merge:
+            for frag in sorted(glob.glob(pat)):
+                with open(frag) as f:
+                    for e in json.load(f):
+                        current[e["block_size"]] = e
+        top = max(current)
+        merged = []
+        for bs in range(1, top + 1):
+            merged.append(current.get(
+                bs, {"block_size": bs, "preprocessing_block_sizes": [],
+                     "pruning_parameters": []}))
+        with open(default_path, "w") as f:
+            json.dump(merged, f)
+        print(f"wrote {default_path}: blocks 1..{top}, "
+              f"{sum(1 for e in merged if e['pruning_parameters'])} pruned")
+        return 0
+
+    lo, hi = (int(x) for x in args.blocks.split(":"))
+    out = []
+    for beta in range(lo, hi):
+        if beta < MIN_PRUNED_BLOCK:
+            continue
+        e = gen_block(beta)
+        out.append(e)
+        print(f"block {beta}: {len(e['pruning_parameters'])} sets, "
+              f"p={[s[2] for s in e['pruning_parameters']]}", flush=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
