@@ -16,7 +16,7 @@ Three measurements (reference targets in BASELINE.md):
    container (no GMP/MPFR headers), and the C core runs the identical
    loop at the same per-node cost profile as fplll's compiled enumerator
    (reference: enumerate_base.cpp:152-247).
-3. End-to-end BKZ-2.0 — block 40, dim 80, 2 tours, extreme pruning +
+3. End-to-end BKZ-2.0 — block 40, dim 80, one tour, extreme pruning +
    recursive preprocessing from the shipped strategies, run through the
    public `bkz_reduction` facade (device enumeration engaged for every
    block >= FPLLL_TPU_MIN_ENUM_DIM). Wall-clock + facade-counted nodes/s.
@@ -139,7 +139,7 @@ def measure_native_anchor(mut, rdiag, radius, budget: int = 30_000_000):
     return visited / max(dt, 1e-9)
 
 
-def measure_end_to_end(block: int = 40, d: int = 80, tours: int = 2,
+def measure_end_to_end(block: int = 40, d: int = 80, tours: int = 1,
                        seed: int = 11):
     """BKZ-2.0 through the public facade: wall-clock + facade node rate."""
     from fplll_tpu.algs.bkz import BKZReduction, bkz_reduction
@@ -178,7 +178,7 @@ def measure_end_to_end(block: int = 40, d: int = 80, tours: int = 2,
 
 def main() -> int:
     d = int(sys.argv[1]) if len(sys.argv) > 1 else 46
-    max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 400000
+    max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200000
     from fplll_tpu.jaxsetup import jnp
     mut, rdiag, gh2 = build_problem(d)
     radius = 1.1 * gh2
@@ -207,8 +207,8 @@ def main() -> int:
     if os.environ.get("FPLLL_BENCH_E2E", "1") != "0":
         try:
             dt, nodes, rate = measure_end_to_end()
-            extra["bkz2_block40_dim80_2tours_wall_s"] = round(dt, 2)
-            extra["bkz2_block40_dim80_2tours_nodes"] = int(nodes)
+            extra["bkz2_block40_dim80_wall_s"] = round(dt, 2)
+            extra["bkz2_block40_dim80_nodes"] = int(nodes)
             extra["bkz2_end_to_end_nodes_per_sec"] = round(rate, 1)
         except Exception as e:     # bench must still print its line
             extra["end_to_end_error"] = repr(e)

@@ -145,3 +145,25 @@ def test_checkpoint_roundtrip_bigints(tmp_path):
     save_checkpoint(str(tmp_path / "c.json"), b, meta={"x": 1})
     b2, u2, meta = load_checkpoint(str(tmp_path / "c.json"))
     assert b2 == b and u2 is None and meta == {"x": 1}
+
+
+@pytest.mark.slow
+def test_bkz2_block40_dim60_device_path():
+    """BKZ-2.0 at the scale the framework claims (block >= 40, dim >= 60)
+    through the TPU-eligible facade path: block 40 exceeds the device
+    threshold (FPLLL_TPU_MIN_ENUM_DIM = 34), so every full window runs
+    the batched kernel — the regime round-1 CI never exercised
+    (reference runs dim 55+ in test_bkz.cpp:322-389)."""
+    RandGen.init_with_seed(77)
+    b = gen.gen_qary_bits(60, 30, 20)
+    from fplll_tpu.algs.wrapper import lll_reduction
+    lll_reduction(b)
+    pre_norm = first_norm(b)
+    strategies = load_strategies_json("default.json")
+    param = BKZParam(40, strategies,
+                     flags=BKZ_MAX_LOOPS | BKZ_GH_BND, max_loops=1)
+    st = bkz_reduction(b, param)
+    assert st in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
+    assert first_norm(b) <= pre_norm
+    m = MatGSO(b, flags=GSO_ROW_EXPO)
+    assert is_lll_reduced(m, 0.98, 0.52)
