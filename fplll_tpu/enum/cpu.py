@@ -220,8 +220,13 @@ class EnumerationDyn:
 
     def _reset(self, cur_dist: float, cur_depth: int) -> None:
         """CVP reset: re-enumerate the sublattice below the max-GS level
-        (enumerate.cpp:23-56)."""
+        (enumerate.cpp:23-56).  Large lower blocks without a nested reset
+        level route to the batched device kernel (the subtree-fixed upper
+        coordinates fold into the lower block's center partial sums, so
+        the sub-search is an ordinary CVP over [0, new_dim))."""
         new_dim = cur_depth + 1
+        if self._reset_on_device(cur_dist, new_dim):
+            return
         partial_sol = [self.x[i] for i in range(cur_depth + 1, self.d)]
         new_dist = 0.0
         for i in range(new_dim):
@@ -238,6 +243,47 @@ class EnumerationDyn:
                 for i in range(new_dim):
                     self.x[i] = sol[i]
                 self._process_solution(sol_dist + cur_dist)
+
+    def _reset_on_device(self, cur_dist: float, new_dim: int) -> bool:
+        """Budgeted hybrid for the reset machinery: when the lower block
+        is device-sized and has no nested reset level of its own
+        (max_indices[new_dim-1] == 0), run the sub-enumeration through
+        the batched kernel instead of a recursive host DFS.  Returns True
+        when the device handled it (including a no-improvement outcome)."""
+        nested = (self._max_indices[new_dim - 1]
+                  if new_dim - 1 < len(self._max_indices) else 0)
+        if self.dual or nested != 0:
+            return False
+        from .tpu import _MIN_TPU_DIM
+        if new_dim < _MIN_TPU_DIM:
+            return False
+        try:
+            import numpy as np
+            from .tpu import TPUEnumerator
+            mu = np.asarray(self.mut, dtype=np.float64)
+            rdiag = np.asarray(self.rdiag[:new_dim], dtype=np.float64)
+            fixed = np.asarray([self.x[j] for j in range(new_dim, self.d)])
+            cp0 = np.asarray(self.target[:new_dim], dtype=np.float64)
+            if len(fixed):
+                cp0 = cp0 - mu[:new_dim, new_dim:self.d] @ fixed
+            maxdist = float(rdiag.sum())   # sum r_ii, normalized scale
+            prune = (np.asarray(self.pruning_bounds[:new_dim])
+                     if self.pruning_bounds else None)
+            ev = FastEvaluator()           # normExp 0: stays normalized
+            from ..jaxsetup import jax, jnp
+            dtype = "dd32" if jax.default_backend() == "tpu" else jnp.float64
+            enum = TPUEnumerator(batch=256, dtype=dtype)
+            enum.enumerate(mu[:new_dim, :new_dim], rdiag, prune, cp0,
+                           maxdist, False, ev)
+        except Exception:
+            return False                   # fall back to the host DFS
+        if not ev.empty():
+            sol_dist, sol = ev.begin()
+            if sol_dist + cur_dist < self.partdistbounds[0]:
+                for i in range(new_dim):
+                    self.x[i] = sol[i]
+                self._process_solution(sol_dist + cur_dist)
+        return True
 
     # -- sibling stepping (enumerate_base.h:145-172) -------------------------
     def _next_pos_up(self) -> bool:

@@ -552,7 +552,9 @@ class TPUEnumerator:
                 max_steps=1 << 30, batch=self.batch, dual=bool(dual),
                 findsubsols=findsubsols)
 
-        self.nodes[:m] += np.asarray(state["nodes"]).astype(np.int64)
+        upto = min(m, d)     # bucket rounding can push m past d
+        self.nodes[:upto] += \
+            np.asarray(state["nodes"]).astype(np.int64)[:upto]
         bd = np.array(state["best_dist"], dtype=np.float64)
         if dt == "dd32":
             bd = bd + np.array(state["best_dist_lo"], dtype=np.float64)

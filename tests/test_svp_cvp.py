@@ -177,3 +177,38 @@ def test_bkz_on_gram_object():
         a = float(mg.get_r(i, i))
         c = float(mb.get_r(i, i))
         assert abs(a - c) <= 1e-6 * max(1.0, abs(c))
+
+
+def test_proved_cvp_device_reset_matches_host(monkeypatch):
+    """CVP reset machinery on device (enumerate.cpp:23-56): when the
+    proved-CVP walk descends below the max-GS level and the lower block
+    is device-sized, the reset sub-enumeration runs through the batched
+    kernel. Result must match the host-only oracle exactly."""
+    import fplll_tpu.enum.cpu as cpumod
+    import fplll_tpu.enum.tpu as tpumod
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops import gen
+
+    hits = {"dev": 0}
+    orig = cpumod.EnumerationDyn._reset_on_device
+
+    def spy(self, cur_dist, new_dim):
+        r = orig(self, cur_dist, new_dim)
+        hits["dev"] += bool(r)
+        return r
+
+    monkeypatch.setattr(cpumod.EnumerationDyn, "_reset_on_device", spy)
+
+    def solve():
+        RandGen.init_with_seed(21)
+        b = gen.gen_uniform(38, 10)
+        lll_reduction(b)
+        return closest_vector(b, [3] * 38, method=CVPM_PROVED)
+
+    monkeypatch.setattr(tpumod, "_MIN_TPU_DIM", 34)
+    st_dev, sol_dev = solve()
+    assert hits["dev"] >= 1          # the kernel actually handled a reset
+    monkeypatch.setattr(tpumod, "_MIN_TPU_DIM", 10_000)
+    st_host, sol_host = solve()
+    assert st_dev == st_host == 0
+    assert sol_dev == sol_host
