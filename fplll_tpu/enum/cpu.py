@@ -22,6 +22,8 @@ from typing import List, Optional, Sequence
 
 from .evaluator import Evaluator, FastEvaluator
 
+_RESET_DEVICE_WARNED = False
+
 __all__ = ["EnumerationDyn", "_roundf"]
 
 def _roundf(x: float) -> float:
@@ -275,8 +277,17 @@ class EnumerationDyn:
             enum = TPUEnumerator(batch=256, dtype=dtype)
             enum.enumerate(mu[:new_dim, :new_dim], rdiag, prune, cp0,
                            maxdist, False, ev)
-        except Exception:
-            return False                   # fall back to the host DFS
+        except Exception as e:
+            # fall back to the host DFS, but don't let the device path rot
+            # silently: surface the first failure per process
+            global _RESET_DEVICE_WARNED
+            if not _RESET_DEVICE_WARNED:
+                _RESET_DEVICE_WARNED = True
+                import warnings
+                warnings.warn(
+                    f"device CVP-reset path failed ({e!r}); falling back "
+                    "to host DFS for this process", RuntimeWarning)
+            return False
         if not ev.empty():
             sol_dist, sol = ev.begin()
             if sol_dist + cur_dist < self.partdistbounds[0]:

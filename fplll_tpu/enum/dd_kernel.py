@@ -358,4 +358,15 @@ def _enum_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
         return (jnp.any(s["active"]) | (s["cursor"] < R)) & \
             (s["steps"] < max_steps)
 
-    return jax.lax.while_loop(cond, body, st)
+    out = jax.lax.while_loop(cond, body, st)
+    # on-device top-K finalize (cf. tpu._enum_run): rank by the rounded
+    # dd sum — exact enough to order solutions, and ties keep both lanes
+    K = min(B, 128)
+    _, idx = jax.lax.top_k(-(out["best_dist"] + out["best_dist_lo"]), K)
+    res = {kk: out[kk] for kk in ("A", "A_lo", "nodes", "cursor", "steps")}
+    res["best_dist"] = out["best_dist"][idx]
+    res["best_dist_lo"] = out["best_dist_lo"][idx]
+    res["best_dev"] = out["best_dev"][idx]
+    res["best_root"] = out["best_root"][idx]
+    res["sol_count"] = jnp.sum(out["sol_count"])
+    return res

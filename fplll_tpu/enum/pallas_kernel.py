@@ -85,15 +85,35 @@ def pallas_available() -> bool:
         return False
 
 
-def pallas_batch_fits(m: int, batch: int,
-                      vmem_budget: int = 14 << 20) -> bool:
-    """True when the VMEM-resident state for (m, batch) fits the per-core
+def _tile_fits(m: int, tile: int, vmem_budget: int = 14 << 20) -> bool:
+    """True when the VMEM-resident state for (m, tile) fits the per-core
     scoped-vmem limit (16M on v5e; leave headroom for mut tiles, the
     matmul operand and compiler stack). The compiler's measured stack for
     the chunk call is ~7 (m, B) f32 planes (five state planes plus
     double-buffered copies) plus ~two dozen (1, B) rows — m=40, B=16384
-    allocates 17.4M against the 16M limit, so the gate must reject it."""
-    return (7 * m + 24) * 4 * batch <= vmem_budget
+    allocates 17.4M against the 16M limit, so that must grid over lanes."""
+    return (7 * m + 24) * 4 * tile <= vmem_budget
+
+
+_MAX_TILE = int(os.environ.get("FPLLL_TPU_PALLAS_MAX_TILE", "0"))
+
+
+def pallas_tile(m: int, batch: int) -> int:
+    """Largest power-of-two lane tile (multiple of 128, dividing batch)
+    whose VMEM state fits; 0 if none does. Batches above the tile run as
+    a Pallas grid over lane tiles (sequential cells, same kernel).
+    FPLLL_TPU_PALLAS_MAX_TILE caps the tile (tests / hardware tuning)."""
+    tile = batch
+    while tile >= 128 and (batch % tile or not _tile_fits(m, tile) or
+                           (_MAX_TILE and tile > _MAX_TILE)):
+        tile //= 2
+    return tile if tile >= 128 else 0
+
+
+def pallas_batch_fits(m: int, batch: int) -> bool:
+    """The (m, batch) config can run on the Pallas path (possibly as a
+    lane-tiled grid)."""
+    return pallas_tile(m, batch) > 0
 
 
 def _cround(x):
@@ -229,7 +249,8 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             ks = jnp.clip(k_sib, jnp.int32(0), jnp.int32(m - 1))
             oh_sel = rows == ks[None, :]
             oh_self = jnp.where(oh_sel, one, zero)
-            col = jax.lax.dot(Mx, oh_self, preferred_element_type=_F)
+            col = jax.lax.dot(Mx, oh_self, preferred_element_type=_F,
+                              precision=jax.lax.Precision.HIGHEST)
             r_sel = col[m, :]
             p_sel = col[m + 1, :]
             r_dn = col[m + 2, :]
@@ -333,27 +354,46 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
 def _chunk_call(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk,
                 bdist, m: int, B: int, chunk: int, is_svp: bool,
                 count_mode: bool):
-    kernel = _make_chunk_kernel(m, B, chunk, is_svp, count_mode)
+    """One VMEM-resident chunk over all B lanes.  When the full-B state
+    exceeds VMEM, lanes are tiled over a Pallas grid (sequential cells,
+    same kernel per tile); the shrinking bound A is then per-tile within
+    the chunk — correct-but-wasteful exactly like enumlib's stale atomic
+    bound — and tiles are re-merged (min) between chunks by the caller."""
+    tile = pallas_tile(m, B)
+    grid = B // tile
+    kernel = _make_chunk_kernel(m, tile, chunk, is_svp, count_mode)
     smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-    vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    lane_i = lambda i: (0, i)        # noqa: E731
+    cell_i = lambda i: (i, 0)        # noqa: E731
+    const_i = lambda i: (0, 0)       # noqa: E731
+    vmem_m = pl.BlockSpec((m, tile), lane_i, memory_space=pltpu.VMEM)
+    vmem_1 = pl.BlockSpec((1, tile), lane_i, memory_space=pltpu.VMEM)
+    vmem_Mx = pl.BlockSpec((m + _XR, m), const_i, memory_space=pltpu.VMEM)
+    state_specs = [vmem_m] * 4 + [vmem_1] * 8
     mB = jax.ShapeDtypeStruct((m, B), _F)
     oBf = jax.ShapeDtypeStruct((1, B), _F)
     oBi = jax.ShapeDtypeStruct((1, B), _I)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        in_specs=[vmem(), smem((1, 1))] + [vmem()] * _N_STATE,
+        grid=(grid,),
+        in_specs=[vmem_Mx, smem((1, 1), const_i)] + state_specs,
         out_shape=(mB, mB, mB, mB, oBi, oBi, oBf, oBf, oBf, oBf, oBf,
                    oBf,
-                   jax.ShapeDtypeStruct((1, 1), _F),    # A
-                   mB,                                   # nodes
-                   oBf, oBf,                             # leaf0/sol
-                   jax.ShapeDtypeStruct((1, 1), _I)),    # steps
-        out_specs=tuple([vmem()] * _N_STATE) + (smem((1, 1)), vmem(),
-                                                vmem(), vmem(),
-                                                smem((1, 1))),
+                   jax.ShapeDtypeStruct((grid, 1), _F),  # A per tile
+                   mB,                                    # nodes
+                   oBf, oBf,                              # leaf0/sol
+                   jax.ShapeDtypeStruct((grid, 1), _I)),  # steps per tile
+        out_specs=tuple(state_specs) + (smem((1, 1), cell_i), vmem_m,
+                                        vmem_1, vmem_1,
+                                        smem((1, 1), cell_i)),
         input_output_aliases={i + 2: i for i in range(_N_STATE)},
         interpret=_INTERPRET,
     )(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist)
+    # merge per-tile A (min) and steps (max) back to the (1, 1) contract
+    res = list(out)
+    res[12] = jnp.min(res[12], axis=0, keepdims=True)
+    res[16] = jnp.max(res[16], axis=0, keepdims=True)
+    return tuple(res)
 
 
 @partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps",
@@ -395,7 +435,8 @@ def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
         """Transposed state from root rows rx (B, nfix), rpd (B,)."""
         if nfix:
             cs = cp0_c - jax.lax.dot(mut_fix_f, rx.T,
-                                     preferred_element_type=_F)
+                                     preferred_element_type=_F,
+                                     precision=jax.lax.Precision.HIGHEST)
         else:
             cs = jnp.broadcast_to(cp0_c, (m, B))
         c0 = cs[m - 1, :]
@@ -495,12 +536,17 @@ def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
             (s["steps"] < max_steps)
 
     out = jax.lax.while_loop(cond, body, st)
+    # on-device top-K finalize (cf. tpu._enum_run): trim host transfers
+    # to the K best lanes
+    K = min(B, 128)
+    bd = jnp.where(jnp.isfinite(out["bdist"][0, :]), out["bdist"][0, :],
+                   jnp.inf)
+    negd, idx = jax.lax.top_k(-bd, K)
     return {
         "nodes": out["nodes"],
-        "best_dist": jnp.where(jnp.isfinite(out["bdist"][0, :]),
-                               out["bdist"][0, :], jnp.inf),
-        "best_dev": out["bdev"].T,
-        "best_root": out["best_root"],
+        "best_dist": -negd,
+        "best_dev": out["bdev"].T[idx],
+        "best_root": out["best_root"][idx],
         "sol_count": out["sol_count"],
         "steps": out["steps"],
         "A": out["A"][0, 0],

@@ -12,6 +12,14 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# One-hot matmul *selections* permeate the enumeration kernels (ohf @ mu,
+# ohf @ rdiag, ...). At JAX's default matmul precision the TPU MXU truncates
+# f32 operands to bfloat16 passes (~8 mantissa bits) — far outside both the
+# f32 kernel's 1e-5 bound slack and the dd32 kernel's ~48-bit certified
+# guarantee, so a proved search could silently prune the true solution.
+# Force full-precision matmuls globally; every dot in this library is either
+# tiny (one-hot selects) or correctness-critical (center partial sums).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 # explicit platform override (e.g. FPLLL_TPU_PLATFORM=cpu for the virtual
 # multi-device test mesh); takes precedence over ambient JAX_PLATFORMS

@@ -30,7 +30,6 @@ from ..jaxsetup import jax, jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..enum.tpu import _enum_steps
 from ..enum.evaluator import Evaluator
 
 __all__ = ["make_enum_mesh", "ShardedEnumerator"]
@@ -41,20 +40,6 @@ def make_enum_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("enum",))
-
-
-def _sweep(mut, rdiag, prune, state, m: int, is_svp: bool, count_mode: bool,
-           max_steps: int):
-    """One device-local sweep followed by a pmin radius exchange."""
-    state = _enum_steps(mut, rdiag, prune, state, m=m, is_svp=is_svp,
-                        count_mode=count_mode, max_steps=max_steps)
-    if not count_mode:
-        # ICI collective: replicate the tightest radius found anywhere
-        state["A"] = jax.lax.pmin(state["A"], axis_name="enum")
-    # node counters start at zero each sweep, so the psum is the global total
-    state["nodes"] = jax.lax.psum(state["nodes"], axis_name="enum")
-    state["steps"] = jax.lax.pmax(state["steps"], axis_name="enum")
-    return state
 
 
 def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
@@ -218,28 +203,33 @@ def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
 
     def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, ra_a,
                  rpd_a, A_a):
-        out = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
-                        rx_a, ra_a, rpd_a, A_a, m=m, is_svp=is_svp,
-                        count_mode=count_mode, sync_steps=sync_steps,
-                        max_rounds=1 << 22, batch=batch, dual=dual,
-                        findsubsols=findsubsols)
-        out["cursor"] = out["cursor"][None]
-        out["rounds"] = out["rounds"][None]
-        out["work"] = out["work"][None]
-        out["nodes"] = out["nodes"][None]
+        full = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
+                         rx_a, ra_a, rpd_a, A_a, m=m, is_svp=is_svp,
+                         count_mode=count_mode, sync_steps=sync_steps,
+                         max_rounds=1 << 22, batch=batch, dual=dual,
+                         findsubsols=findsubsols)
+        # per-shard on-device top-K finalize (cf. tpu._enum_run): only the
+        # K best lanes of each shard leave the devices
+        K = min(batch, 128)
+        negd, idx = jax.lax.top_k(-full["best_dist"], K)
+        out = {"A": full["A"],
+               "best_dist": -negd,
+               "best_dev": full["best_dev"][idx],
+               "best_root": full["best_root"][idx],
+               "sol_count": jnp.sum(full["sol_count"])[None],
+               "nodes": full["nodes"][None],
+               "cursor": full["cursor"][None],
+               "rounds": full["rounds"][None]}
         if findsubsols:
-            out["subsol_dist"] = out["subsol_dist"][None]
-            out["subsol_vec"] = out["subsol_vec"][None]
-            out["subsol_root"] = out["subsol_root"][None]
+            out["subsol_dist"] = full["subsol_dist"][None]
+            out["subsol_vec"] = full["subsol_vec"][None]
+            out["subsol_root"] = full["subsol_root"][None]
         return out
 
     lane = P("enum")
-    specs = {"x": lane, "dx": lane, "ddx": lane, "center": lane,
-             "partdist": lane, "cs": lane, "k": lane,
-             "active": lane, "lane_root": lane, "A": P(),
-             "best_dist": lane, "best_dev": lane,
+    specs = {"A": P(), "best_dist": lane, "best_dev": lane,
              "best_root": lane, "sol_count": lane, "nodes": lane,
-             "cursor": lane, "rounds": lane, "work": lane}
+             "cursor": lane, "rounds": lane}
     if findsubsols:
         specs.update({"subsol_dist": lane, "subsol_vec": lane,
                       "subsol_root": lane})
@@ -365,6 +355,7 @@ class ShardedEnumerator:
                       jnp.asarray(rpd_flat, dt),
                       jnp.asarray(A0, dtype=dt))
 
+        out = jax.device_get(out)    # ONE batched host transfer
         self.nodes[:m] += np.asarray(out["nodes"]).reshape(
             self.n_dev, m).sum(axis=0).astype(np.int64)
         bd = np.array(out["best_dist"])

@@ -53,10 +53,12 @@ rx_pad = np.zeros((256, 8)); rpd_pad = np.full(256, np.inf)
 rpd_pad[0] = 0.0
 out = {}
 for mode in ("count", "search"):
+    import os as _os
+    B = int(_os.environ.get("FPLLL_TPU_PALLAS_TEST_BATCH", "128"))
     s = _enum_run_pallas(mut_pad, rdiag_pad, prune_pad, mut_fix_pad,
                          cp0_pad, rx_pad, rpd_pad, A, m=m, is_svp=True,
                          count_mode=(mode == "count"), max_steps=1 << 20,
-                         batch=128, chunk=64)
+                         batch=B, chunk=64)
     out[mode] = {
         "sols": float(np.asarray(s["sol_count"]).sum()),
         "best": float(np.asarray(s["best_dist"]).min()),
@@ -92,3 +94,21 @@ def test_pallas_kernel_matches_brute_force():
     assert abs(out["count"]["best"] - brute["best"]) < 1e-4
     assert abs(out["search"]["best"] - brute["best"]) < 1e-4
     assert out["search"]["nodes"] <= out["count"]["nodes"]
+
+
+@pytest.mark.slow
+def test_pallas_lane_grid_matches_brute_force():
+    """Batches whose VMEM state exceeds one core run as a lane-tiled grid
+    (the fix for the B=16384 throughput cliff); force a 2-cell grid by
+    capping the tile below the test batch and check identical semantics."""
+    out = _run_pallas_subprocess({
+        "FPLLL_TPU_PALLAS_INTERPRET": "1",
+        "FPLLL_TPU_PLATFORM": "cpu",
+        "JAX_PLATFORMS": "cpu",
+        "FPLLL_TPU_PALLAS_MAX_TILE": "128",
+        "FPLLL_TPU_PALLAS_TEST_BATCH": "256",
+    })
+    brute = out["brute"]
+    assert out["count"]["sols"] == brute["pairs"]
+    assert abs(out["count"]["best"] - brute["best"]) < 1e-4
+    assert abs(out["search"]["best"] - brute["best"]) < 1e-4

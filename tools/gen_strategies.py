@@ -99,6 +99,10 @@ def main() -> int:
     ap.add_argument("--out", help="fragment output path")
     ap.add_argument("--merge", nargs="*", help="fragment globs to merge")
     args = ap.parse_args()
+    if args.blocks is None and args.merge is None:
+        ap.error("one of --blocks or --merge is required")
+    if args.blocks is not None and args.out is None and args.merge is None:
+        ap.error("--blocks requires --out")
 
     here = os.path.dirname(os.path.abspath(__file__))
     default_path = os.path.join(here, "..", "fplll_tpu", "strategies",
