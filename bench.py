@@ -176,6 +176,25 @@ def measure_end_to_end(block: int = 40, d: int = 80, tours: int = 1,
     return dt, nodes, nodes / max(dt, 1e-9)
 
 
+def measure_bkz20_dim60(seed: int = 13) -> float:
+    """BASELINE.md config 3: plain BKZ block 20, dim 60, unpruned, fixed
+    1 tour (comparable across rounds)."""
+    from fplll_tpu.algs.bkz import bkz_reduction
+    from fplll_tpu.algs.bkz_param import BKZParam
+    from fplll_tpu.algs.wrapper import lll_reduction
+    from fplll_tpu.defs import BKZ_MAX_LOOPS
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops.gen import gen_qary_bits
+
+    RandGen.init_with_seed(seed)
+    b = gen_qary_bits(60, 30, 30)
+    lll_reduction(b)
+    t0 = time.time()
+    bkz_reduction(b, BKZParam(block_size=20, flags=BKZ_MAX_LOOPS,
+                              max_loops=1))
+    return time.time() - t0
+
+
 def main() -> int:
     d = int(sys.argv[1]) if len(sys.argv) > 1 else 46
     max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200000
@@ -212,6 +231,20 @@ def main() -> int:
             extra["bkz2_end_to_end_nodes_per_sec"] = round(rate, 1)
         except Exception as e:     # bench must still print its line
             extra["end_to_end_error"] = repr(e)
+        # BASELINE.md config 4 headline: BKZ-2.0 block 60, dim 80, 1 tour
+        if os.environ.get("FPLLL_BENCH_BLOCK60", "1") != "0":
+            try:
+                dt, nodes, rate = measure_end_to_end(block=60)
+                extra["bkz2_block60_dim80_wall_s"] = round(dt, 2)
+                extra["bkz2_block60_dim80_nodes"] = int(nodes)
+                extra["bkz2_block60_nodes_per_sec"] = round(rate, 1)
+            except Exception as e:
+                extra["block60_error"] = repr(e)
+        # BASELINE.md config 3: plain BKZ-20, dim 60, no pruning
+        try:
+            extra["bkz20_dim60_wall_s"] = round(measure_bkz20_dim60(), 2)
+        except Exception as e:
+            extra["bkz20_error"] = repr(e)
 
     print(json.dumps({
         "metric": f"enum_nodes_per_sec_dim{d}",

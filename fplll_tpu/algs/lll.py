@@ -110,11 +110,18 @@ class LLLReduction:
                     np.subtract(g0, np.cumsum(prods), out=lv[1:])
                     lovasz[:kappa + 1] = list(lv)
                 else:
-                    lovasz[0] = m.get_gram(kappa, kappa)
-                    for i in range(1, kappa + 1):
-                        mu_v, _ = m.get_mu_exp(kappa, i - 1)
-                        r_v, _ = m.get_r_exp(kappa, i - 1)
-                        lovasz[i] = lovasz[i - 1] - mu_v * r_v
+                    native = getattr(ctx, "native_engine", None)
+                    if native is not None and hasattr(native,
+                                                      "lovasz_chain"):
+                        lovasz[:kappa + 1] = native.lovasz_chain(
+                            m.mu, m.r, kappa, kappa,
+                            m.get_gram(kappa, kappa), ctx.kind_id)
+                    else:
+                        lovasz[0] = m.get_gram(kappa, kappa)
+                        for i in range(1, kappa + 1):
+                            mu_v, _ = m.get_mu_exp(kappa, i - 1)
+                            r_v, _ = m.get_r_exp(kappa, i - 1)
+                            lovasz[i] = lovasz[i - 1] - mu_v * r_v
                 rkk, _ = m.get_r_exp(kappa - 1, kappa - 1)
                 t = rkk * ctx.scalar(self.swap_threshold)
                 if m.enable_row_expo:
@@ -206,12 +213,54 @@ class LLLReduction:
                 expo_diff = (m.row_expo[kappa] - m.row_expo[:end]).astype(np.int64)
         return True
 
+    def _babai_compiled(self, kappa: int, end: int, start: int,
+                        native) -> bool:
+        """Compiled-context lazy size reduction: per-row stats and the
+        rounding pass run as single C calls over the fpnum object arrays
+        (same semantics as the scalar loop in babai below)."""
+        import numpy as np
+        m, ctx = self.m, self.ctx
+        max_expo = None
+        it = 0
+        while True:
+            if not m.update_gso_row(kappa, end - 1):
+                return self.set_status(RED_GSO_FAILURE)
+            expo = (m.row_expo[kappa] - m.row_expo[:end]).astype(np.int64) \
+                if m.enable_row_expo else None
+            finite, max_abs, _ = native.mu_row_stats(
+                m.mu, kappa, expo, start, end, ctx.kind_id)
+            if finite and max_abs <= self.eta:
+                break
+            if it >= 2:
+                # divergence detection by exponent non-decrease
+                # (lll.cpp:187-195)
+                _, _, new_max_expo = native.mu_row_stats(
+                    m.mu, kappa, expo, 0, end, ctx.kind_id)
+                if max_expo is not None and \
+                        new_max_expo > max_expo - SIZE_RED_FAILURE_THRESH:
+                    return self.set_status(RED_BABAI_FAILURE)
+                max_expo = new_max_expo
+            it += 1
+            bmu = m.mu[kappa, :end].copy()
+            m.row_op_begin(kappa, kappa + 1)
+            pairs = native.babai_pass(m.mu, bmu, expo, start, end,
+                                      ctx.prec, ctx.kind_id)
+            for j, mu_rnd in pairs:
+                m.row_addmul_we(kappa, j, -mu_rnd,
+                                int(expo[j]) if expo is not None else 0)
+            m.row_op_end(kappa, kappa + 1)
+        return True
+
     def babai(self, kappa: int, size_reduction_end: int,
               size_reduction_start: int = 0) -> bool:
         m, ctx = self.m, self.ctx
         if self._fast:
             return self._babai_f64(kappa, size_reduction_end,
                                    size_reduction_start)
+        native = getattr(ctx, "native_engine", None)
+        if native is not None:
+            return self._babai_compiled(kappa, size_reduction_end,
+                                        size_reduction_start, native)
         max_expo = None
         it = 0
         while True:

@@ -139,7 +139,8 @@ class Wrapper:
         if precision <= PREC_DOUBLE:
             ctx = get_ctx(FT_DPE)
         else:
-            ctx = MPCtx(precision, FT_MPFR)
+            # routed to the compiled dde/qde tiers when the precision fits
+            ctx = get_ctx(FT_MPFR, precision)
         kappa = self._call_lll(LM_HEURISTIC, ctx, 0)
         if kappa == 0:
             return 0
@@ -155,7 +156,11 @@ class Wrapper:
         if precision > PREC_DD:
             ctx = self._high_prec_ctx(precision)
         elif self.max_exponent * 2 > 1000:
-            ctx = get_ctx(FT_DPE)
+            # entries overflow the double exponent range: the reference
+            # drops to dpe here (wrapper.cpp:211-215); the compiled dde
+            # tier keeps 106-bit precision WITH the unbounded exponent
+            ctx = (get_ctx(FT_MPFR, precision) if precision > PREC_DOUBLE
+                   else get_ctx(FT_DPE))
         elif precision > PREC_DOUBLE:
             ctx = get_ctx(FT_DD)
         else:
@@ -170,13 +175,14 @@ class Wrapper:
     def _high_prec_ctx(self, precision: int):
         """Context for proved passes above dd precision. The reference
         goes straight to mpfr (wrapper.cpp:206-210) because libqd is its
-        optional fast tier only up to dd; here the compiled qd (212-bit)
-        covers precisions up to PREC_QD-12 (a 12-bit guard for qd's
-        few-ulp arithmetic), with the soft-float as the arbitrary-
-        precision tail."""
+        optional fast tier only up to dd; here the compiled qd/qde
+        (212-bit, qde with unbounded exponent) cover precisions up to
+        PREC_QD-12 (a 12-bit guard for qd's few-ulp arithmetic), with
+        the soft-float as the arbitrary-precision tail."""
         from ..nr.fctx import compiled_ctx
-        if precision <= PREC_QD - 12 and self.max_exponent * 2 <= 1000:
-            ctx = compiled_ctx("qd")
+        if precision <= PREC_QD - 12:
+            kind = "qd" if self.max_exponent * 2 <= 1000 else "qde"
+            ctx = compiled_ctx(kind)
             if ctx is not None:
                 return ctx
         return MPCtx(precision, FT_MPFR)
@@ -189,8 +195,9 @@ class Wrapper:
             math.ceil(0.5 * math.log2(max(1, self.d * self.n))))
         if self.good_prec <= PREC_DOUBLE:
             ctx = get_ctx(FT_DPE)
-        elif self.good_prec <= PREC_DD and self.max_exponent * 2 <= 1000:
-            ctx = get_ctx(FT_DD)
+        elif self.good_prec <= PREC_DD:
+            ctx = get_ctx(FT_DD) if self.max_exponent * 2 <= 1000 \
+                else get_ctx(FT_MPFR, self.good_prec)   # dde tier
         else:
             ctx = self._high_prec_ctx(self.good_prec)
         return self._call_lll(LM_PROVED, ctx, self.good_prec)

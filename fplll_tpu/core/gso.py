@@ -36,8 +36,11 @@ __all__ = ["MatGSO", "MatGSOGram", "adjust_radius_to_gh_bound"]
 
 def _mpf_to_int_mul_2exp(x, e: int) -> int:
     """Exact integer value of x * 2^e for a soft-float scalar (mpmath mpf
-    or compiled dpe/dd/qd) known to be integral."""
+    or compiled dpe/dd/qd/dde/qde) known to be integral."""
     if not hasattr(x, "_mpf_"):
+        f = getattr(x, "to_int_2exp", None)
+        if f is not None:
+            return f(e)
         from ..nr.fctx import comps_to_int_mul_2exp
         comps, off = x.parts()
         return comps_to_int_mul_2exp(comps, off + e)
@@ -171,6 +174,13 @@ class MatGSOInterface:
         self.gso_valid_cols[i] = j
         return True
 
+    def _native_gram_row(self, i: int, last_j: int):
+        """1-d object array whose entries [0..last_j] are the Gram values
+        in a form the compiled engine coerces exactly (raw Python ints
+        for int-Gram, cached fpnum scalars otherwise), or None when the
+        native row recurrence cannot be used."""
+        return None
+
     def update_gso_row(self, i: int, last_j: int | None = None) -> bool:
         """One row of classical Gram-Schmidt (gso_interface.cpp:131-164):
         r(i,j) = <b_i,b_j> - sum_k<j mu(j,k) r(i,k);  mu(i,j) = r(i,j)/r(j,j).
@@ -181,7 +191,20 @@ class MatGSOInterface:
             self.discover_row()
         if isinstance(self.ctx, F64Ctx):
             return self._update_gso_row_f64(i, last_j)
-        j = max(0, self.gso_valid_cols[i])
+        native = getattr(self.ctx, "native_engine", None)
+        j0 = max(0, self.gso_valid_cols[i])
+        if native is not None and j0 <= last_j:
+            grow = self._native_gram_row(i, last_j)
+            if grow is not None:
+                # whole-row recurrence in one C call (the compiled-engine
+                # replacement of the per-scalar loop below)
+                n = native.gso_row_update(self.mu, self.r, grow, i, j0,
+                                          last_j, self.ctx.kind_id)
+                if n <= last_j:
+                    return False          # nonfinite mu at column n
+                self.gso_valid_cols[i] = last_j + 1
+                return True
+        j = j0
         with self.ctx.guard():
             while j <= last_j:
                 t = self.get_gram(i, j)
@@ -545,6 +568,15 @@ class MatGSO(MatGSOInterface):
         n = max(self.n_known_cols, self.init_row_size[i])
         row = self.b.a[i]
         fast = isinstance(self.ctx, F64Ctx)
+        native = getattr(self.ctx, "native_engine", None)
+        if not fast and native is not None:
+            # whole-row conversion in one C call (gso.cpp:24-48)
+            out, max_e = native.bf_row_from_ints(
+                row, n, self.ctx.kind_id, 1 if self.enable_row_expo else 0)
+            if self.enable_row_expo:
+                self.row_expo[i] = max_e
+            self.bf[i, :] = out
+            return
         if self.enable_row_expo:
             if fast:
                 pairs = [int_to_f_exp(int(row[j])) for j in range(n)]
@@ -627,6 +659,19 @@ class MatGSO(MatGSOInterface):
         if self.enable_int_gram:
             return int(self.g[i, j])
         return self.b.dot_rows(i, j)
+
+    def _native_gram_row(self, i: int, last_j: int):
+        if self.enable_int_gram:
+            return self.g[i, :last_j + 1]      # raw ints, coerced in C
+        n = self.n_known_cols if not self.cols_locked else self.bf.shape[1]
+        native = self.ctx.native_engine
+        if hasattr(native, "gram_row_fill"):
+            native.gram_row_fill(self.gf, self.bf, i, last_j, n,
+                                 self.ctx.kind_id)
+        else:
+            for j in range(last_j + 1):
+                self.get_gram(i, j)            # fill the fpnum cache
+        return self.gf[i, :last_j + 1]
 
     def get_gram_row(self, i: int, last_j: int):
         if self.enable_int_gram or not isinstance(self.ctx, F64Ctx):
@@ -862,6 +907,9 @@ class MatGSOGram(MatGSOInterface):
         if not self.cols_locked:
             self.n_source_rows = self.n_known_rows
         self.gso_valid_cols[self.n_known_rows - 1] = 0
+
+    def _native_gram_row(self, i: int, last_j: int):
+        return self.g[i, :last_j + 1]          # raw ints, coerced in C
 
     def get_gram(self, i: int, j: int):
         return self.ctx.from_int(int(self.g[i, j]))

@@ -698,9 +698,47 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         for i in range(d):
             cp0[i] = float(target_coord[i + first])
 
+    prune = np.asarray(pruning, dtype=np.float64) if len(pruning) else None
+    total_nodes = np.zeros(d, dtype=np.int64)
+
+    # Budgeted native-first hybrid: a window whose whole tree fits a few
+    # milliseconds of the sequential C core (~10^7 nodes/s) never pays the
+    # device launch + transfer latency; a bigger tree escalates to the
+    # batched kernel with the native pass's tightened bound and incumbent
+    # carried over (the crossover policy replacing enumlib's dim<=10
+    # fallback, /root/reference/fplll/enum-parallel/enumlib.cpp:93-105).
+    hybrid_done = False
+    from .evaluator import EVALSTRATEGY_BEST_N_SOLUTIONS as _BESTN
+    from .evaluator import CallbackEvaluator
+    hybrid_budget = int(__import__("os").environ.get(
+        "FPLLL_TPU_HYBRID_NODES", "2000000"))
+    if not count_mode and hybrid_budget > 0 and \
+            not evaluator.findsubsols and evaluator.max_sols == 1 and \
+            evaluator.strategy == _BESTN and \
+            not isinstance(evaluator, CallbackEvaluator):
+        from ..native import native_enumerate
+        out = native_enumerate(mut, rdiag, prune,
+                               cp0 if not is_svp else None,
+                               maxdist, is_svp, dual, False,
+                               node_budget=hybrid_budget)
+        if out is not None:
+            new_max, best_dist, best_x, _sc, cnodes, visited = out
+            total_nodes[:d] += np.asarray(cnodes).astype(np.int64)
+            if best_x is not None:
+                new_max = evaluator.eval_sol([float(v) for v in best_x],
+                                             best_dist, new_max)
+            maxdist = min(maxdist, new_max)
+            hybrid_done = visited < hybrid_budget   # full tree explored
+        if hybrid_done:
+            if dual and not evaluator.empty():
+                for i, (sdist, sol) in enumerate(evaluator.solutions):
+                    evaluator.solutions[i] = (sdist, sol[::-1])
+            return math.ldexp(maxdist, normexp - fmaxdistexpo), total_nodes
+
     # If the top of the tree is too wide (typically a CVP bound of
     # sum r_ii), tighten the radius with a budgeted host dive first.
-    if not count_mode and not dual:
+    if not count_mode and not dual and not hybrid_done and \
+            evaluator.empty():
         top_width = 2.0 * math.sqrt(max(maxdist, 0.0) / rdiag[d - 1]) + 1.0
         if top_width > 64.0:
             from ..native import get_lib
@@ -710,8 +748,6 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
                                    target_coord, (), pruning, False, False,
                                    node_budget=budget)
             maxdist = math.ldexp(newmax, fmaxdistexpo - normexp)
-
-    prune = np.asarray(pruning, dtype=np.float64) if len(pruning) else None
 
     # Gaussian-heuristic iterative deepening: when the caller's bound is far
     # beyond the expected solution distance (standalone CVP bounds of
@@ -727,7 +763,6 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         # overshoot of the first successful pass, so a coarse ladder
         # (few launches) beats a fine one
         trial = min(gh2 / 16.0, maxdist)
-    total_nodes = np.zeros(d, dtype=np.int64)
     # f32 tree for heuristic searches (BKZ blocks: FastEvaluator + exact
     # postprocessing); certified completeness (error-bounded evaluators of
     # the proved SVP/CVP drivers) needs >24-bit tree mantissa: f64 on hosts

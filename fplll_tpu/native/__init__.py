@@ -21,6 +21,32 @@ _LIB = None
 _TRIED = False
 
 
+def _compile(src_name: str, so_name: str, extra_flags=()) -> Optional[str]:
+    """Compile one C source from this directory into the on-demand cache;
+    returns the .so path or None. Shared by every native component (the
+    single build seam replacing the reference's autotools,
+    /root/reference/configure.ac)."""
+    src = os.path.join(_HERE, src_name)
+    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
+                               os.path.expanduser("~/.cache/fplll_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, so_name)
+    if os.path.exists(so_path) and \
+            os.path.getmtime(so_path) >= os.path.getmtime(src):
+        return so_path
+    cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+           *extra_flags, "-o", so_path, src, "-lm"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        try:  # retry without -march=native
+            cmd.remove("-march=native")
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+    return so_path
+
+
 class EnumResult(ctypes.Structure):
     _fields_ = [
         ("maxdist", ctypes.c_double),
@@ -33,24 +59,9 @@ class EnumResult(ctypes.Structure):
 
 
 def _build() -> Optional[ctypes.CDLL]:
-    src = os.path.join(_HERE, "enum_core.c")
-    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
-                               os.path.expanduser("~/.cache/fplll_tpu"))
-    os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "enum_core.so")
-    if not os.path.exists(so_path) or \
-            os.path.getmtime(so_path) < os.path.getmtime(src):
-        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", so_path, src, "-lm"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError):
-            try:  # retry without -march=native
-                cmd.remove("-march=native")
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
+    so_path = _compile("enum_core.c", "enum_core.so")
+    if so_path is None:
+        return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:
@@ -120,24 +131,9 @@ _LLL_TRIED = False
 
 
 def _build_lll() -> Optional[ctypes.CDLL]:
-    src = os.path.join(_HERE, "lll_core.c")
-    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
-                               os.path.expanduser("~/.cache/fplll_tpu"))
-    os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "lll_core.so")
-    if not os.path.exists(so_path) or \
-            os.path.getmtime(so_path) < os.path.getmtime(src):
-        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", so_path, src, "-lm"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError):
-            try:
-                cmd.remove("-march=native")
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
+    so_path = _compile("lll_core.c", "lll_core.so")
+    if so_path is None:
+        return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:
@@ -272,24 +268,9 @@ _PRUNER_TRIED = False
 
 
 def _build_pruner() -> Optional[ctypes.CDLL]:
-    src = os.path.join(_HERE, "pruner_core.c")
-    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
-                               os.path.expanduser("~/.cache/fplll_tpu"))
-    os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "pruner_core.so")
-    if not os.path.exists(so_path) or \
-            os.path.getmtime(so_path) < os.path.getmtime(src):
-        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", so_path, src, "-lm"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError):
-            try:
-                cmd.remove("-march=native")
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
+    so_path = _compile("pruner_core.c", "pruner_core.so")
+    if so_path is None:
+        return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:
@@ -327,25 +308,12 @@ def _build_fpnum():
     import importlib.util
     import sysconfig
 
-    src = os.path.join(_HERE, "fpnum.c")
-    cache_dir = os.environ.get("FPLLL_TPU_NATIVE_CACHE",
-                               os.path.expanduser("~/.cache/fplll_tpu"))
-    os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "fpnum.so")
-    if not os.path.exists(so_path) or \
-            os.path.getmtime(so_path) < os.path.getmtime(src):
-        inc = sysconfig.get_path("include")
-        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
-               f"-I{inc}", "-o", so_path, src, "-lm"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError):
-            try:
-                cmd.remove("-march=native")
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
+    so_path = _compile(
+        "fpnum.c", "fpnum.so",
+        extra_flags=(f"-I{sysconfig.get_path('include')}",
+                     f"-I{np.get_include()}"))
+    if so_path is None:
+        return None
     try:
         loader = importlib.machinery.ExtensionFileLoader("fpnum", so_path)
         spec = importlib.util.spec_from_file_location("fpnum", so_path,

@@ -273,18 +273,23 @@ _F64 = F64Ctx()
 # Compiled scalar backend (native dpe / dd / qd, fplll_tpu/native/fpnum.c)
 # ---------------------------------------------------------------------------
 class CompiledCtx:
-    """Context over the compiled dpe/dd/qd scalar types.
+    """Context over the compiled dpe/dd/qd/dde/qde scalar types.
 
     Same protocol as MPCtx, but every scalar operation runs in native code
-    (error-free-transform double-double / quad-double, or double+exponent
-    dpe) instead of interpreted mpmath — the compiled high-precision tier
-    that plays the role of libqd/dpe in the reference
-    (/root/reference/fplll/nr/nr_FP_dd.inl, nr_FP_qd.inl, nr/dpe.h)."""
+    (error-free-transform double-double / quad-double, double+exponent
+    dpe, and the dd/qd-mantissa + unbounded-exponent dde/qde pair that
+    serves the mpfr role at 106/212 bits) instead of interpreted mpmath —
+    the compiled high-precision tiers playing the role of libqd/dpe/mpfr
+    in the reference (/root/reference/fplll/nr/nr_FP_dd.inl,
+    nr_FP_qd.inl, nr/dpe.h, nr/nr_FP_mpfr.inl)."""
 
     dtype = object
 
-    _PRECS = {"dpe": PREC_DOUBLE, "dd": PREC_DD, "qd": PREC_QD}
-    _FTS = {"dpe": FT_DPE, "dd": FT_DD, "qd": FT_QD}
+    _PRECS = {"dpe": PREC_DOUBLE, "dd": PREC_DD, "qd": PREC_QD,
+              "dde": PREC_DD, "qde": PREC_QD}
+    _FTS = {"dpe": FT_DPE, "dd": FT_DD, "qd": FT_QD,
+            "dde": FT_MPFR, "qde": FT_MPFR}
+    _KIND_IDS = {"dpe": 0, "dd": 1, "qd": 2, "dde": 3, "qde": 4}
 
     def __init__(self, kind: str, mod):
         self._m = mod
@@ -293,6 +298,10 @@ class CompiledCtx:
         self.prec = self._PRECS[kind]
         self.float_type = self._FTS[kind]
         self.name = kind
+        self.kind_id = self._KIND_IDS[kind]
+        # numpy-object-array engine kernels (GSO row recurrence, Babai
+        # pass, ...) — present in fresh builds of fpnum.c
+        self.native_engine = mod if hasattr(mod, "gso_row_update") else None
         self._zero = self._mk(0.0)
         self._fpnum_t = type(self._zero)
 
@@ -316,7 +325,7 @@ class CompiledCtx:
         if self.kind == "dpe":
             f, e = int_to_f_exp(int(x))
             return self._m.dpe_me(f, e)
-        return self._mk(int(x))
+        return self._mk(int(x))   # exact in C for dd/qd; top bits for dde/qde
 
     def to_float(self, x) -> float:
         return float(x)
@@ -347,6 +356,9 @@ class CompiledCtx:
         return self.scalar(x).ldexp(int(e))
 
     def ldexp_arr(self, a, e: int):
+        if self.native_engine is not None:
+            flat = np.ascontiguousarray(a.ravel())
+            return self.native_engine.ldexp_arr(flat, int(e)).reshape(a.shape)
         out = np.empty_like(a)
         flat_in, flat_out = a.ravel(), out.ravel()
         for i in range(flat_in.size):
@@ -403,7 +415,25 @@ def get_ctx(float_type: FloatType | int, prec: int = 0):
     if ft == FT_QD:
         return compiled_ctx("qd") or MPCtx(PREC_QD, FT_QD)
     if ft == FT_MPFR:
-        return MPCtx(prec if prec > 0 else PREC_DOUBLE, FT_MPFR)
+        p = prec if prec > 0 else PREC_DOUBLE
+        # Serve the mpfr role with the compiled exponent-carrying EFT
+        # scalars whenever the requested precision fits: dde/qde give
+        # >= the requested mantissa bits AND the unbounded exponent range
+        # mpfr has (huge-entry int-Gram values overflow plain dd/qd).
+        # The soft float stays as the arbitrary-precision tail, the same
+        # split the reference's wrapper makes between libqd tiers and
+        # mpfr (/root/reference/fplll/wrapper.cpp:203-232).
+        import os
+        if os.environ.get("FPLLL_TPU_COMPILED_MPFR", "1") == "1":
+            if p <= PREC_DD - 2:
+                c = compiled_ctx("dde")
+                if c is not None:
+                    return c
+            if p <= PREC_QD - 12:
+                c = compiled_ctx("qde")
+                if c is not None:
+                    return c
+        return MPCtx(p, FT_MPFR)
     raise ValueError(f"unsupported float type {float_type}")
 
 

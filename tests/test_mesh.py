@@ -64,6 +64,9 @@ def test_facade_routes_through_mesh(mesh, monkeypatch):
     from fplll_tpu.enum.api import Enumeration
 
     monkeypatch.setattr(enum_tpu, "_MIN_TPU_DIM", 12)
+    # disable the budgeted native-first hybrid: this test checks the
+    # mesh routing itself, which only engages on trees too big for it
+    monkeypatch.setenv("FPLLL_TPU_HYBRID_NODES", "0")
     d, seed = 20, 2
     RandGen.init_with_seed(seed)
     b = gen.gen_uniform(d, 12)
