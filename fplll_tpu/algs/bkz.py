@@ -117,10 +117,15 @@ class BKZReduction:
         return strat.get_pruning(max_dist * 2.0 ** e, gh_max_dist * 2.0 ** e)
 
     # -- native sub-basis reduction fast path ---------------------------------
-    def _native_sub_reduce(self, end: int, size_red_only: bool) -> int | None:
+    def _native_sub_reduce(self, end: int,
+                           size_red_only: bool) -> tuple[int, bool] | None:
         """Run the native fast LLL / size reduction on basis rows [0, end)
-        of the shared GSO, then resynchronize the float state. Returns the
-        native status or None when inapplicable."""
+        of the shared GSO, then resynchronize the float state. Returns
+        (native status, basis_changed) or None when inapplicable.
+        basis_changed is an exact comparison, NOT the native swap counter:
+        the BKZ/slide termination heuristics key off "did a window change
+        anything", and a from-scratch engine can report internal swaps on
+        input it ultimately returns unchanged."""
         import os
         m = self.m
         if os.environ.get("FPLLL_TPU_NATIVE_LLL", "1") != "1":
@@ -128,35 +133,49 @@ class BKZReduction:
         if not isinstance(m, MatGSO) or m.enable_transform or \
                 m.enable_int_gram or type(m.ctx).__name__ != "F64Ctx":
             return None
+        import numpy as np
         from ..native import native_lll_fast
         from ..ops.intmat import IntMat
+        snap = m.b.a[:end].copy()       # pointer copies of immutable ints
         sub = IntMat(data=m.b.a[:end])  # view: native writes through
         st = native_lll_fast(sub, None, self.lll_obj.delta,
                              self.lll_obj.eta, size_red_only=size_red_only)
         if st is None:
             return None
-        # resync: every row's GSO state may reference the changed prefix
-        for i in range(m.d):
-            m.invalidate_gso_row(i, 0)
-        for i in range(end):
-            m.update_bf(i)
-            m.invalidate_gram_row(i)
-        for i in range(end):
-            m.update_gso_row(i)
-        return st
+        changed = not bool(np.array_equal(snap, m.b.a[:end]))
+        if changed:
+            # resync: every row's GSO state may reference the changed
+            # prefix; one blocked-Cholesky full recompute (ops/blockgso
+            # via update_gso) replaces `end` runs of the row recurrence
+            for i in range(m.d):
+                m.invalidate_gso_row(i, 0)
+            for i in range(end):
+                m.update_bf(i)
+                m.invalidate_gram_row(i)
+            m.update_gso()
+        else:
+            # the Python engines leave rows [0, end) GSO-valid as a side
+            # effect; downstream radius/root-det reads rely on it
+            for i in range(end):
+                if not m.update_gso_row(i):
+                    return None     # numerical trouble: use the Python path
+        return st, changed
 
     # -- preprocessing (bkz.cpp:100-126) -------------------------------------
     def svp_preprocessing(self, kappa: int, block_size: int,
                           param: BKZParam) -> bool:
         clean = True
         lll_start = kappa if (param.flags & BKZ_BOUNDED_LLL) else 0
-        native_st = None
-        if lll_start == 0 and block_size >= 24:
-            native_st = self._native_sub_reduce(kappa + block_size,
-                                                size_red_only=False)
-        if native_st == 0:
-            from ..native import native_lll_fast
-            if getattr(native_lll_fast, "last_n_swaps", 1) > 0:
+        native_out = None
+        # the native engine is kept out of the dual/slide variant tours:
+        # their potential/progress heuristics assume one LLL engine's
+        # deterministic tie-breaking throughout
+        if lll_start == 0 and kappa + block_size >= 16 and \
+                not getattr(self, "_variant_tour", False):
+            native_out = self._native_sub_reduce(kappa + block_size,
+                                                 size_red_only=False)
+        if native_out is not None and native_out[0] == 0:
+            if native_out[1]:
                 clean = False
         else:
             if not self.lll_obj.lll(lll_start, lll_start,
@@ -243,12 +262,22 @@ class BKZReduction:
             m.move_row(kappa + d - 1, kappa)
         return False
 
+    def _size_reduce_prefix(self, end: int) -> None:
+        """Size-reduce basis rows [0, end): native core when the prefix is
+        big enough to amortize the resync, Python engine otherwise."""
+        out = self._native_sub_reduce(end, size_red_only=True) \
+            if end >= 32 and not getattr(self, "_variant_tour", False) \
+            else None
+        if out is not None and out[0] == 0:
+            return
+        if not self.lll_obj.size_reduction(0, end, 0):
+            raise RuntimeError(get_red_status_str(self.lll_obj.status))
+
     # -- one SVP window (bkz.cpp:274-358) ------------------------------------
     def svp_reduction(self, kappa: int, block_size: int, par: BKZParam,
                       dual: bool = False) -> bool:
         first = kappa + block_size - 1 if dual else kappa
-        if not self.lll_obj.size_reduction(0, first + 1, 0):
-            raise RuntimeError(get_red_status_str(self.lll_obj.status))
+        self._size_reduce_prefix(first + 1)
         ctx = self.m.ctx
         v, old_first_expo = self.m.get_r_exp(first, first)
         old_first = ctx.to_float(v)
@@ -294,8 +323,7 @@ class BKZReduction:
                 rerandomize = True
             remaining_probability *= (1.0 - pruning.expectation)
 
-        if not self.lll_obj.size_reduction(0, first + 1, 0):
-            raise RuntimeError(get_red_status_str(self.lll_obj.status))
+        self._size_reduce_prefix(first + 1)
         v, new_first_expo = self.m.get_r_exp(first, first)
         new_first = ctx.to_float(v) * 2.0 ** (new_first_expo - old_first_expo)
         return (old_first >= new_first) if dual else (old_first <= new_first)
@@ -353,8 +381,12 @@ class BKZReduction:
                 max_row: int) -> bool:
         dummy = [self.num_rows]
         clean = True
-        clean &= self.trunc_dtour(par, min_row, max_row)
-        clean &= self.trunc_tour(dummy, par, min_row, max_row)
+        self._variant_tour = True
+        try:
+            clean &= self.trunc_dtour(par, min_row, max_row)
+            clean &= self.trunc_tour(dummy, par, min_row, max_row)
+        finally:
+            self._variant_tour = False
         if par.flags & BKZ_VERBOSE:
             self.print_tour(loop, min_row, max_row)
         if par.flags & BKZ_DUMP_GSO:
@@ -364,6 +396,14 @@ class BKZReduction:
 
     def slide_tour(self, loop: int, par: BKZParam, min_row: int,
                    max_row: int) -> bool:
+        self._variant_tour = True
+        try:
+            return self._slide_tour(loop, par, min_row, max_row)
+        finally:
+            self._variant_tour = False
+
+    def _slide_tour(self, loop: int, par: BKZParam, min_row: int,
+                    max_row: int) -> bool:
         p = (max_row - min_row) // par.block_size
         if (max_row - min_row) % par.block_size:
             p += 1

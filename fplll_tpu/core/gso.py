@@ -579,6 +579,25 @@ class MatGSO(MatGSOInterface):
             return
         if self.enable_row_expo:
             if fast:
+                # all-small rows (every |entry| <= 2^53): one vectorized
+                # conversion — entries are exactly representable, so this
+                # matches the per-entry int_to_f_exp path bit for bit
+                try:
+                    arr = row[:n].astype(np.float64)
+                except (OverflowError, TypeError):
+                    arr = None
+                if arr is not None and \
+                        np.all(np.abs(arr) < 9007199254740992.0):
+                    nz = arr != 0.0
+                    if nz.any():
+                        max_e = int(np.frexp(arr[nz])[1].max())
+                    else:
+                        max_e = 0
+                    self.row_expo[i] = max_e
+                    with np.errstate(under="ignore"):
+                        self.bf[i, :n] = np.ldexp(arr, -max_e)
+                    self.bf[i, n:] = 0.0
+                    return
                 pairs = [int_to_f_exp(int(row[j])) for j in range(n)]
                 fs = np.fromiter((p[0] for p in pairs), dtype=np.float64,
                                  count=n)

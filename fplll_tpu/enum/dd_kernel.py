@@ -75,8 +75,15 @@ def _le(a: DD, b: DD):
 
 
 def _make_step_dd(mut: DD, rdiag: DD, prune: DD, m: int, is_svp: bool,
-                  count_mode: bool, dual: bool = False):
-    """dd lockstep step over state width m (cf. tpu._make_step)."""
+                  count_mode: bool, dual: bool = False,
+                  findsubsols: bool = False):
+    """dd lockstep step over state width m (cf. tpu._make_step).
+
+    findsubsols mirrors the f32 kernel's per-level best-partial capture;
+    subsol distances are ranked and recorded by the rounded hi+lo sum
+    (subsolutions feed BKZ-2.0 recursion heuristics, not the certified
+    bound — reference records them in plain double either way,
+    enumerate_base.cpp:203-229)."""
     dtype = jnp.float32
     mut_t = DD(mut.hi.T, mut.lo.T)
     cols = jnp.arange(m)
@@ -133,6 +140,17 @@ def _make_step_dd(mut: DD, rdiag: DD, prune: DD, m: int, is_svp: bool,
 
         nodes = st["nodes"] + jnp.sum(ohf * ok[:, None].astype(dtype),
                                       axis=0).astype(jnp.float64)
+
+        ss = {}
+        if findsubsols:
+            improving = ok & (nd_sum > 0)
+            cand = jnp.where(oh & improving[:, None], nd_sum[:, None],
+                             jnp.inf)                 # (B, m)
+            ss_dist = jnp.min(cand, axis=0)           # (m,)
+            ss_lane = jnp.argmin(cand, axis=0)        # (m,)
+            ss_x = jnp.where(cols[None, :] >= cols[:, None],
+                             x[ss_lane], zero)        # (m, m)
+            ss = {"ss_dist": ss_dist, "ss_lane": ss_lane, "ss_x": ss_x}
 
         descend = ok & ~at_bottom
         mut_col = _sel_mat2(mut_t, ohf)               # (B, m) dd: row kc of mu
@@ -208,7 +226,7 @@ def _make_step_dd(mut: DD, rdiag: DD, prune: DD, m: int, is_svp: bool,
                     A=A_new.hi, A_lo=A_new.lo,
                     best_dist=best.hi, best_dist_lo=best.lo,
                     best_dev=best_dev, sol_count=sol_count, nodes=nodes,
-                    better=better)
+                    better=better, **ss)
 
     return step
 
@@ -224,12 +242,13 @@ def _sel_mat2(mat_t: DD, ohf) -> DD:
 
 
 @partial(jax.jit, static_argnames=("m", "is_svp", "count_mode", "max_steps",
-                                   "batch", "dual"))
+                                   "batch", "dual", "findsubsols"))
 def _enum_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
                  mut_fix_hi, mut_fix_lo, cp0_hi, cp0_lo,
                  roots_x, roots_a, roots_pd_hi, roots_pd_lo, A0_hi, A0_lo,
                  m: int, is_svp: bool, count_mode: bool, max_steps: int,
-                 batch: int = 1024, dual: bool = False):
+                 batch: int = 1024, dual: bool = False,
+                 findsubsols: bool = False):
     """dd-pair whole-enumeration kernel with on-device root refill
     (cf. tpu._enum_run; same queue semantics, dd accumulators)."""
     B = batch
@@ -240,7 +259,8 @@ def _enum_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
     rdiag = DD(rdiag_hi, rdiag_lo)
     prune = DD(prune_hi, prune_lo)
     cp0 = DD(cp0_hi, cp0_lo)
-    step = _make_step_dd(mut, rdiag, prune, m, is_svp, count_mode, dual=dual)
+    step = _make_step_dd(mut, rdiag, prune, m, is_svp, count_mode, dual=dual,
+                         findsubsols=findsubsols)
 
     def make_fresh(ra, rpd: DD):
         """Lane state from root rows; the nfix-term center-sum is
@@ -298,12 +318,21 @@ def _enum_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
         "cursor": jnp.asarray(B, dtype=jnp.int32),
         "steps": jnp.asarray(0, dtype=jnp.int32),
     }
+    if findsubsols:
+        # reference init: record starts at r_kk (enumerate_base.cpp:203)
+        st["subsol_dist"] = rdiag.hi + rdiag.lo
+        st["subsol_vec"] = jnp.zeros((m, m), dtype=dtype)
+        st["subsol_root"] = jnp.zeros((m, nfix), dtype=dtype)
 
     def body(st):
         lane_root = st["lane_root"]
         cursor = st["cursor"]
         steps = st["steps"]
         best_root_prev = st["best_root"]
+        if findsubsols:
+            ss_dist_prev = st.pop("subsol_dist")
+            ss_vec_prev = st.pop("subsol_vec")
+            ss_root_prev = st.pop("subsol_root")
         out = step(st)
         better = out.pop("better")
         out["best_root"] = jnp.where(better[:, None], lane_root,
@@ -312,6 +341,16 @@ def _enum_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
         out["lane_root"] = lane_root
         out["cursor"] = cursor
         out["steps"] = steps + 1
+        if findsubsols:
+            ss_dist = out.pop("ss_dist")
+            ss_lane = out.pop("ss_lane")
+            ss_x = out.pop("ss_x")
+            upd = ss_dist < ss_dist_prev
+            out["subsol_dist"] = jnp.where(upd, ss_dist, ss_dist_prev)
+            out["subsol_vec"] = jnp.where(upd[:, None], ss_x, ss_vec_prev)
+            out["subsol_root"] = jnp.where(upd[:, None], lane_root[ss_lane],
+                                           ss_root_prev) if nfix \
+                else ss_root_prev
 
         need = ~out["active"] & (out["cursor"] < R)
 
@@ -369,4 +408,7 @@ def _enum_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
     res["best_dev"] = out["best_dev"][idx]
     res["best_root"] = out["best_root"][idx]
     res["sol_count"] = jnp.sum(out["sol_count"])
+    if findsubsols:
+        for kk in ("subsol_dist", "subsol_vec", "subsol_root"):
+            res[kk] = out[kk]
     return res

@@ -85,14 +85,18 @@ def pallas_available() -> bool:
         return False
 
 
-def _tile_fits(m: int, tile: int, vmem_budget: int = 14 << 20) -> bool:
-    """True when the VMEM-resident state for (m, tile) fits the per-core
-    scoped-vmem limit (16M on v5e; leave headroom for mut tiles, the
-    matmul operand and compiler stack). The compiler's measured stack for
-    the chunk call is ~7 (m, B) f32 planes (five state planes plus
-    double-buffered copies) plus ~two dozen (1, B) rows — m=40, B=16384
-    allocates 17.4M against the 16M limit, so that must grid over lanes."""
-    return (7 * m + 24) * 4 * tile <= vmem_budget
+# v5e has 128M VMEM per core; the default scoped-vmem ceiling is 16M, so
+# both pallas_call sites raise it explicitly and the tile model budgets
+# against that raised limit.
+_VMEM_LIMIT = 100 << 20
+
+def _tile_fits(m: int, tile: int, vmem_budget: int = 80 << 20) -> bool:
+    """True when the VMEM-resident footprint for (m, tile) fits the
+    raised scoped-vmem limit with headroom. Model calibrated against the
+    compiler's reported scoped allocations (m=40: 22.75M at tile=8192
+    single-cell, 16.53M at tile=4096 gridded with double-buffered
+    windows): ~26 (m, B) f32 planes + ~96 (1, B) rows covers both."""
+    return (26 * m + 96) * 4 * tile <= vmem_budget
 
 
 _MAX_TILE = int(os.environ.get("FPLLL_TPU_PALLAS_MAX_TILE", "0"))
@@ -129,7 +133,11 @@ _N_STATE = 12
 
 
 def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
-                       count_mode: bool):
+                       count_mode: bool, wide_scalars: bool = False):
+    """wide_scalars: A/steps outputs are (1, B) VMEM rows (broadcast per
+    lane tile) instead of (1, 1) SMEM scalars — the lane-tiled grid path
+    needs this because TPU lowering rejects (1, 1) blocks over a
+    (grid, 1) array."""
     def kernel(Mx_ref, A_ref, *refs):
         ins = refs[:_N_STATE]
         (x_o, pd_o, cs_o, bdev_o, k_o, act_o, xk_o, ck_o, pdk_o, rk_o,
@@ -249,6 +257,10 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             ks = jnp.clip(k_sib, jnp.int32(0), jnp.int32(m - 1))
             oh_sel = rows == ks[None, :]
             oh_self = jnp.where(oh_sel, one, zero)
+            # full-precision fetch: the one-hot selection must return the
+            # exact f32 mu/rdiag/prune values (default MXU precision
+            # truncates operands to bf16; Mosaic does not support
+            # per-operand precision, which could halve the passes here)
             col = jax.lax.dot(Mx, oh_self, preferred_element_type=_F,
                               precision=jax.lax.Precision.HIGHEST)
             r_sel = col[m, :]
@@ -343,8 +355,12 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
 
         i_fin, _, A_fin = jax.lax.while_loop(
             cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
-        A_o[0, 0] = A_fin
-        steps_o[0, 0] = i_fin
+        if wide_scalars:
+            A_o[0, :] = jnp.full((B,), A_fin, _F)
+            steps_o[0, :] = jnp.full((B,), i_fin, _I)
+        else:
+            A_o[0, 0] = A_fin
+            steps_o[0, 0] = i_fin
 
     return kernel
 
@@ -363,36 +379,69 @@ def _chunk_call(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk,
     grid = B // tile
     kernel = _make_chunk_kernel(m, tile, chunk, is_svp, count_mode)
     smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-    lane_i = lambda i: (0, i)        # noqa: E731
-    cell_i = lambda i: (i, 0)        # noqa: E731
-    const_i = lambda i: (0, 0)       # noqa: E731
+    mB = jax.ShapeDtypeStruct((m, B), _F)
+    oBf = jax.ShapeDtypeStruct((1, B), _F)
+    oBi = jax.ShapeDtypeStruct((1, B), _I)
+    if grid == 1:
+        vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            in_specs=[vmem(), smem((1, 1))] + [vmem()] * _N_STATE,
+            out_shape=(mB, mB, mB, mB, oBi, oBi, oBf, oBf, oBf, oBf, oBf,
+                       oBf,
+                       jax.ShapeDtypeStruct((1, 1), _F),    # A
+                       mB,                                   # nodes
+                       oBf, oBf,                             # leaf0/sol
+                       jax.ShapeDtypeStruct((1, 1), _I)),    # steps
+            out_specs=tuple([vmem()] * _N_STATE) + (smem((1, 1)), vmem(),
+                                                    vmem(), vmem(),
+                                                    smem((1, 1))),
+            input_output_aliases={i + 2: i for i in range(_N_STATE)},
+            interpret=_INTERPRET,
+        )(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist)
+
+    # lane-tiled grid: sequential cells of `tile` lanes each; A/steps come
+    # back broadcast across each tile's lane segment and are re-merged to
+    # keep the (1, 1) contract
+    kernel = _make_chunk_kernel(m, tile, chunk, is_svp, count_mode,
+                                wide_scalars=True)
+
+    # index maps must return i32 under jax_enable_x64: a plain Python 0
+    # becomes an i64 constant and Mosaic refuses the mixed-width return
+    def lane_i(i):
+        return (jnp.int32(0), i)
+
+    def const_i(i):
+        return (jnp.int32(0), jnp.int32(0))
+
     vmem_m = pl.BlockSpec((m, tile), lane_i, memory_space=pltpu.VMEM)
     vmem_1 = pl.BlockSpec((1, tile), lane_i, memory_space=pltpu.VMEM)
     vmem_Mx = pl.BlockSpec((m + _XR, m), const_i, memory_space=pltpu.VMEM)
     state_specs = [vmem_m] * 4 + [vmem_1] * 8
-    mB = jax.ShapeDtypeStruct((m, B), _F)
-    oBf = jax.ShapeDtypeStruct((1, B), _F)
-    oBi = jax.ShapeDtypeStruct((1, B), _I)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[vmem_Mx, smem((1, 1), const_i)] + state_specs,
         out_shape=(mB, mB, mB, mB, oBi, oBi, oBf, oBf, oBf, oBf, oBf,
                    oBf,
-                   jax.ShapeDtypeStruct((grid, 1), _F),  # A per tile
+                   oBf,                                   # A (per lane)
                    mB,                                    # nodes
                    oBf, oBf,                              # leaf0/sol
-                   jax.ShapeDtypeStruct((grid, 1), _I)),  # steps per tile
-        out_specs=tuple(state_specs) + (smem((1, 1), cell_i), vmem_m,
+                   oBi),                                  # steps (per lane)
+        out_specs=tuple(state_specs) + (vmem_1, vmem_m,
                                         vmem_1, vmem_1,
-                                        smem((1, 1), cell_i)),
+                                        vmem_1),
         input_output_aliases={i + 2: i for i in range(_N_STATE)},
         interpret=_INTERPRET,
     )(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist)
     # merge per-tile A (min) and steps (max) back to the (1, 1) contract
     res = list(out)
-    res[12] = jnp.min(res[12], axis=0, keepdims=True)
-    res[16] = jnp.max(res[16], axis=0, keepdims=True)
+    res[12] = jnp.min(res[12], axis=1, keepdims=True)
+    res[16] = jnp.max(res[16], axis=1, keepdims=True)
     return tuple(res)
 
 

@@ -371,7 +371,7 @@ class TPUEnumerator:
     """Host driver for the batched kernel: splits the tree, generates and
     refills subtree roots, merges lane solutions into the evaluator."""
 
-    def __init__(self, batch: int = 1024, max_device_levels: int = 64,
+    def __init__(self, batch: int = 1024, max_device_levels: int = 128,
                  target_root_factor: int = 32, steps_per_launch: int = 50000,
                  dive_nodes: int = 2000, dtype=None):
         self.batch = batch
@@ -404,6 +404,13 @@ class TPUEnumerator:
         subsols is a dict, per-level best partials found during expansion
         are recorded into it as level -> (dist, x-tail)."""
         target = self.target_root_factor * self.batch
+        # memory cap on the host frontier: once the device can take over
+        # (m_cand <= max_device_levels) never grow past hard_cap roots;
+        # above the device ceiling (d > max_device_levels + expanded
+        # levels) expansion is forced and the cap only trims per level
+        # via the pd <= A filter (reference in-core ceiling is dim 256,
+        # configure.ac:161-168; ours is the kernel height + this split)
+        hard_cap = 1 << 22
         xs = np.zeros((1, 0))
         als = np.zeros((1, 0))
         pd = np.zeros(1)
@@ -412,7 +419,8 @@ class TPUEnumerator:
         while lvl >= 1:
             m_cand = lvl + 1
             if m_cand <= self.max_device_levels and \
-                    (xs.shape[0] >= target or m_cand <= 2):
+                    (xs.shape[0] >= target or m_cand <= 2 or
+                     xs.shape[0] >= hard_cap):
                 break
             acc = als if dual else xs
             c = cp0[lvl] - (acc @ mut[lvl, lvl + 1:d] if acc.shape[1] else 0.0)
@@ -477,6 +485,7 @@ class TPUEnumerator:
         roots_x, roots_a, roots_pd = (roots_x[order], roots_a[order],
                                       roots_pd[order])
         nfix = d - m_real
+        self._last_m_real = m_real      # diagnostics: device tree height
 
         # pad the device tree height up to a bucket so the jitted kernel is
         # traced once per bucket: virtual levels admit exactly x=0 (center 0,
@@ -527,10 +536,6 @@ class TPUEnumerator:
             use_pallas = pallas_available() and pallas_batch_fits(m,
                                                                   self.batch)
         if dt == "dd32":
-            if findsubsols:
-                raise NotImplementedError(
-                    "dd32 kernel does not capture subsolutions; route "
-                    "findsubsols searches through f32/f64 or the host core")
             from .dd_kernel import _enum_run_dd, split_dd
             mh, ml = split_dd(mut_pad)
             rh, rl = split_dd(rdiag_pad)
@@ -545,7 +550,8 @@ class TPUEnumerator:
                 jnp.asarray(ra_pad, jnp.float32),
                 pdh, pdl, Ah, Al,
                 m=m, is_svp=bool(is_svp), count_mode=bool(count_mode),
-                max_steps=1 << 30, batch=self.batch, dual=bool(dual))
+                max_steps=1 << 30, batch=self.batch, dual=bool(dual),
+                findsubsols=findsubsols)
         elif use_pallas:
             from .pallas_kernel import _enum_run_pallas
             state = _enum_run_pallas(
@@ -568,7 +574,9 @@ class TPUEnumerator:
                 findsubsols=findsubsols)
 
         state = jax.device_get(state)    # ONE batched host transfer
-        upto = min(m, d)     # bucket rounding can push m past d
+        # levels m_real..m-1 are virtual bucket padding: every lane walks
+        # them once per root (x=0 only), so their counters are artifacts
+        upto = min(m_real, d)
         self.nodes[:upto] += \
             np.asarray(state["nodes"]).astype(np.int64)[:upto]
         bd = np.array(state["best_dist"], dtype=np.float64)
@@ -644,10 +652,6 @@ def _make_enumerator(dtype):
 
     from ..threads import get_batch
     ndev = len(jax.devices())
-    if dtype == "dd32":
-        # the sharded driver does not carry dd state yet; certified trees
-        # stay single-chip (they are rare by construction — wrapper ladder)
-        return TPUEnumerator(batch=get_batch(), dtype=dtype)
     if ndev > 1 and os.environ.get("FPLLL_TPU_MESH", "1") != "0":
         from ..parallel.mesh import ShardedEnumerator, make_enum_mesh
         return ShardedEnumerator(
@@ -710,8 +714,14 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     hybrid_done = False
     from .evaluator import EVALSTRATEGY_BEST_N_SOLUTIONS as _BESTN
     from .evaluator import CallbackEvaluator
+    # crossover: on a real TPU the batched kernel overtakes the C core at
+    # ~2M nodes (launch + transfer latency amortized); on the CPU host
+    # platform the "device" is the same host running a slower vectorized
+    # emulation, so only genuinely huge trees should escalate
+    default_budget = 2_000_000 if jax.default_backend() == "tpu" \
+        else 64_000_000
     hybrid_budget = int(__import__("os").environ.get(
-        "FPLLL_TPU_HYBRID_NODES", "2000000"))
+        "FPLLL_TPU_HYBRID_NODES", str(default_budget)))
     if not count_mode and hybrid_budget > 0 and \
             not evaluator.findsubsols and evaluator.max_sols == 1 and \
             evaluator.strategy == _BESTN and \
@@ -774,9 +784,7 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     dtype = jnp.float64 if isinstance(evaluator, ErrorBoundedEvaluator) \
         else jnp.float32
     if dtype == jnp.float64 and jax.default_backend() == "tpu":
-        if bool(evaluator.findsubsols) or dual:
-            return None   # dd32 kernel covers neither; host core does
-        dtype = "dd32"
+        dtype = "dd32"     # dd32 carries dual and subsols since round 3
     while True:
         enum = _make_enumerator(dtype)
         new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,

@@ -162,6 +162,21 @@ def _ints_to_limbs(rows, L: int) -> np.ndarray:
     """Python ints -> little-endian two's-complement uint64 limb tensor."""
     d = len(rows)
     n = len(rows[0])
+    # fast path: every entry fits int64 (the common BKZ-window case) —
+    # one vectorized cast + sign fill instead of a per-limb Python loop
+    try:
+        arr = np.array([list(r) for r in rows], dtype=np.int64) \
+            if not isinstance(rows, np.ndarray) else rows.astype(np.int64)
+    except (OverflowError, TypeError):
+        arr = None
+    if arr is not None:
+        out = np.zeros((d, n, L), dtype=np.uint64)
+        out[:, :, 0] = arr.astype(np.uint64)
+        if L > 1:
+            out[:, :, 1:] = np.where((arr < 0)[:, :, None],
+                                     np.uint64(0xFFFFFFFFFFFFFFFF),
+                                     np.uint64(0))
+        return out
     out = np.zeros((d, n, L), dtype=np.uint64)
     mod = 1 << (64 * L)
     mask = (1 << 64) - 1
@@ -188,6 +203,13 @@ def _ints_to_limbs(rows, L: int) -> np.ndarray:
 def _limbs_to_ints(a: np.ndarray):
     """Inverse of _ints_to_limbs."""
     d, n, L = a.shape
+    # fast path: upper limbs are pure sign extension of limb 0
+    low = a[:, :, 0].astype(np.int64)
+    if L == 1 or bool(np.all(
+            a[:, :, 1:] == np.where((low < 0)[:, :, None],
+                                    np.uint64(0xFFFFFFFFFFFFFFFF),
+                                    np.uint64(0)))):
+        return [[int(v) for v in r] for r in low]
     half = 1 << (64 * L - 1)
     mod = 1 << (64 * L)
     rows = []

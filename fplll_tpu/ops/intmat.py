@@ -174,13 +174,11 @@ class IntMat:
 
     def get_max_exp(self) -> int:
         """max bit-length over entries (matrix.h:203 get_max_exp)."""
-        mx = 0
-        for row in self.a:
-            for x in row:
-                bl = int(x).bit_length()
-                if bl > mx:
-                    mx = bl
-        return mx
+        if self.nrows == 0 or self.ncols == 0:
+            return 0
+        # |.|max via numpy's C-level object dispatch, one bit_length call
+        mx = int(np.abs(self.a).max())
+        return mx.bit_length()
 
     def max_abs(self) -> int:
         mx = 0

@@ -185,6 +185,194 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
     return jax.lax.while_loop(cond, body, st)
 
 
+def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
+                 mut_fix_hi, mut_fix_lo, cp0_hi, cp0_lo,
+                 roots_x, roots_a, roots_pd_hi, roots_pd_lo, A0_hi, A0_lo,
+                 m: int, is_svp: bool, count_mode: bool, sync_steps: int,
+                 max_rounds: int, batch: int, dual: bool = False,
+                 findsubsols: bool = False):
+    """dd32 (compensated f32-pair) variant of _mesh_run: certified
+    proved-SVP/CVP trees run sharded with the ~48-bit bound carried as a
+    (hi, lo) pair. The radius exchange picks ONE owning shard
+    deterministically and broadcasts its exact pair (componentwise pmin
+    of pairs could mix hi/lo from different shards and undershoot the
+    certified bound)."""
+    from ..enum.dd_kernel import DD, _make_step_dd, _le, _where
+
+    B = batch
+    R = roots_x.shape[0]
+    nfix = roots_x.shape[1]
+    dtype = jnp.float32
+    mut = DD(mut_hi, mut_lo)
+    rdiag = DD(rdiag_hi, rdiag_lo)
+    prune = DD(prune_hi, prune_lo)
+    cp0 = DD(cp0_hi, cp0_lo)
+    step = _make_step_dd(mut, rdiag, prune, m, is_svp, count_mode,
+                         dual=dual, findsubsols=findsubsols)
+
+    from ..ops.ddarith import dd_mul as _dd_mul, dd_sub as _dd_sub
+
+    def make_fresh(ra, rpd):
+        cs = DD(jnp.broadcast_to(cp0.hi[None, :], (B, m)),
+                jnp.broadcast_to(cp0.lo[None, :], (B, m)))
+        for j in range(nfix):
+            w = ra[:, j]
+            t = _dd_mul(DD(w[:, None], jnp.zeros_like(w)[:, None]),
+                        DD(mut_fix_hi[None, :, j], mut_fix_lo[None, :, j]))
+            cs = _dd_sub(cs, t)
+        k0 = m - 1
+        c0s = cs.hi[:, k0] + cs.lo[:, k0]
+        x0 = jnp.trunc(c0s + jnp.where(c0s >= 0, 0.5, -0.5))
+        if is_svp:
+            x0 = jnp.where(rpd.hi + rpd.lo == 0.0, jnp.maximum(x0, 0.0), x0)
+        d0 = jnp.where(c0s >= x0, 1.0, -1.0).astype(dtype)
+        x = jnp.zeros((B, m), dtype).at[:, k0].set(x0)
+        dx = jnp.ones((B, m), dtype).at[:, k0].set(d0)
+        ddx = jnp.ones((B, m), dtype).at[:, k0].set(d0)
+        center = DD(jnp.zeros((B, m), dtype).at[:, k0].set(cs.hi[:, k0]),
+                    jnp.zeros((B, m), dtype).at[:, k0].set(cs.lo[:, k0]))
+        partdist = DD(jnp.zeros((B, m + 1), dtype).at[:, k0].set(rpd.hi),
+                      jnp.zeros((B, m + 1), dtype).at[:, k0].set(rpd.lo))
+        return x, dx, ddx, center, partdist, cs
+
+    A0 = DD(A0_hi, A0_lo)
+    idx0 = jnp.arange(B)
+    ridx0 = jnp.clip(idx0, 0, R - 1)
+    rx0 = roots_x[ridx0]
+    ra0 = roots_a[ridx0]
+    rpd0 = DD(roots_pd_hi[ridx0], roots_pd_lo[ridx0])
+    live0 = (idx0 < R) & jnp.isfinite(rpd0.hi) & \
+        _le(rpd0, DD(jnp.broadcast_to(A0.hi, (B,)),
+                     jnp.broadcast_to(A0.lo, (B,))))
+    rpd0 = _where(live0, rpd0, DD(jnp.zeros(B, dtype), jnp.zeros(B, dtype)))
+    x, dx, ddx, center, partdist, cs = make_fresh(ra0, rpd0)
+    st = {
+        "x": x, "dx": dx, "ddx": ddx,
+        "center": center.hi, "center_lo": center.lo,
+        "partdist": partdist.hi, "partdist_lo": partdist.lo,
+        "cs": cs.hi, "cs_lo": cs.lo,
+        "k": jnp.full((B,), m - 1, dtype=jnp.int32),
+        "active": live0,
+        "lane_root": rx0.astype(dtype),
+        "A": jnp.asarray(A0.hi, dtype), "A_lo": jnp.asarray(A0.lo, dtype),
+        "best_dist": jnp.full((B,), jnp.inf, dtype=dtype),
+        "best_dist_lo": jnp.zeros((B,), dtype=dtype),
+        "best_dev": jnp.zeros((B, m), dtype=dtype),
+        "best_root": jnp.zeros((B, nfix), dtype=dtype),
+        "sol_count": jnp.zeros((B,), dtype=jnp.float64),
+        "nodes": jnp.zeros((m,), dtype=jnp.float64),
+        "cursor": jnp.asarray(B, dtype=jnp.int32),
+        "rounds": jnp.asarray(0, dtype=jnp.int32),
+        "work": jnp.asarray(True),
+    }
+    if findsubsols:
+        st["subsol_dist"] = rdiag.hi + rdiag.lo
+        st["subsol_vec"] = jnp.zeros((m, m), dtype=dtype)
+        st["subsol_root"] = jnp.zeros((m, nfix), dtype=dtype)
+
+    def local_step(_, s):
+        lane_root = s["lane_root"]
+        cursor = s["cursor"]
+        best_root_prev = s["best_root"]
+        if findsubsols:
+            ss_dist_prev = s.pop("subsol_dist")
+            ss_vec_prev = s.pop("subsol_vec")
+            ss_root_prev = s.pop("subsol_root")
+        rounds, work = s.pop("rounds"), s.pop("work")
+        out = step(s)
+        better = out.pop("better")
+        out["best_root"] = jnp.where(better[:, None], lane_root,
+                                     best_root_prev) if nfix \
+            else best_root_prev
+        out["lane_root"] = lane_root
+        out["cursor"] = cursor
+        out["rounds"] = rounds
+        out["work"] = work
+        if findsubsols:
+            ss_dist = out.pop("ss_dist")
+            ss_lane = out.pop("ss_lane")
+            ss_x = out.pop("ss_x")
+            upd = ss_dist < ss_dist_prev
+            out["subsol_dist"] = jnp.where(upd, ss_dist, ss_dist_prev)
+            out["subsol_vec"] = jnp.where(upd[:, None], ss_x, ss_vec_prev)
+            out["subsol_root"] = jnp.where(upd[:, None], lane_root[ss_lane],
+                                           ss_root_prev) if nfix \
+                else ss_root_prev
+
+        need = ~out["active"] & (out["cursor"] < R)
+
+        def do_refill(t):
+            needv = ~t["active"]
+            rank = jnp.cumsum(needv.astype(jnp.int32)) - 1
+            ridx = t["cursor"] + rank
+            can = needv & (ridx < R)
+            ridx_c = jnp.clip(ridx, 0, R - 1)
+            rx = roots_x[ridx_c].astype(dtype)
+            ra = roots_a[ridx_c].astype(dtype)
+            rpd = DD(roots_pd_hi[ridx_c], roots_pd_lo[ridx_c])
+            A_cur = DD(jnp.broadcast_to(t["A"], (B,)),
+                       jnp.broadcast_to(t["A_lo"], (B,)))
+            live = can & jnp.isfinite(rpd.hi) & _le(rpd, A_cur)
+            rpd = _where(live, rpd, DD(jnp.zeros(B, dtype),
+                                       jnp.zeros(B, dtype)))
+            fx, fdx, fddx, fcenter, fpartdist, fcs = make_fresh(ra, rpd)
+            sel = can[:, None]
+            t = dict(t)
+            t["x"] = jnp.where(sel, fx, t["x"])
+            t["dx"] = jnp.where(sel, fdx, t["dx"])
+            t["ddx"] = jnp.where(sel, fddx, t["ddx"])
+            t["center"] = jnp.where(sel, fcenter.hi, t["center"])
+            t["center_lo"] = jnp.where(sel, fcenter.lo, t["center_lo"])
+            t["cs"] = jnp.where(sel, fcs.hi, t["cs"])
+            t["cs_lo"] = jnp.where(sel, fcs.lo, t["cs_lo"])
+            t["partdist"] = jnp.where(can[:, None], fpartdist.hi,
+                                      t["partdist"])
+            t["partdist_lo"] = jnp.where(can[:, None], fpartdist.lo,
+                                         t["partdist_lo"])
+            t["k"] = jnp.where(can, jnp.int32(m - 1), t["k"])
+            t["active"] = jnp.where(can, live, t["active"])
+            if nfix:
+                t["lane_root"] = jnp.where(sel, rx, t["lane_root"])
+            t["cursor"] = jnp.minimum(
+                t["cursor"] + jnp.sum(needv, dtype=jnp.int32),
+                jnp.asarray(R, dtype=jnp.int32))
+            return t
+
+        return jax.lax.cond(jnp.any(need), do_refill, lambda t: t, out)
+
+    def body(s):
+        s = jax.lax.fori_loop(0, sync_steps, local_step, s)
+        if not count_mode:
+            # fold the best lane candidate into the local pair, then
+            # broadcast ONE shard's exact pair over ICI
+            key = s["best_dist"] + s["best_dist_lo"]
+            lane = jnp.argmin(jnp.where(jnp.isfinite(key), key, jnp.inf))
+            cand_hi = jnp.take(s["best_dist"], lane)
+            cand_lo = jnp.take(s["best_dist_lo"], lane)
+            have = jnp.isfinite(cand_hi) & \
+                ((cand_hi + cand_lo) < (s["A"] + s["A_lo"]))
+            A_hi = jnp.where(have, cand_hi, s["A"])
+            A_lo = jnp.where(have, cand_lo, s["A_lo"])
+            ssum = A_hi + A_lo
+            g = jax.lax.pmin(ssum, "enum")
+            idx = jax.lax.axis_index("enum")
+            owner_key = jnp.where(ssum == g, idx.astype(jnp.int32),
+                                  jnp.int32(1 << 30))
+            win = jax.lax.pmin(owner_key, "enum")
+            pick = idx.astype(jnp.int32) == win
+            s["A"] = jax.lax.psum(jnp.where(pick, A_hi, 0.0), "enum")
+            s["A_lo"] = jax.lax.psum(jnp.where(pick, A_lo, 0.0), "enum")
+        local_work = jnp.any(s["active"]) | (s["cursor"] < R)
+        s["work"] = jax.lax.psum(local_work.astype(jnp.int32), "enum") > 0
+        s["rounds"] = s["rounds"] + 1
+        return s
+
+    def cond(s):
+        return s["work"] & (s["rounds"] < max_rounds)
+
+    return jax.lax.while_loop(cond, body, st)
+
+
 _RUN_CACHE = {}
 
 
@@ -201,41 +389,72 @@ def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
     if key in _RUN_CACHE:
         return _RUN_CACHE[key]
 
-    def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, ra_a,
-                 rpd_a, A_a):
-        full = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
-                         rx_a, ra_a, rpd_a, A_a, m=m, is_svp=is_svp,
-                         count_mode=count_mode, sync_steps=sync_steps,
-                         max_rounds=1 << 22, batch=batch, dual=dual,
-                         findsubsols=findsubsols)
-        # per-shard on-device top-K finalize (cf. tpu._enum_run): only the
-        # K best lanes of each shard leave the devices
+    is_dd = dtype_str == "dd32"
+
+    def finalize(full):
+        # per-shard on-device top-K finalize (cf. tpu._enum_run): only
+        # the K best lanes of each shard leave the devices
         K = min(batch, 128)
-        negd, idx = jax.lax.top_k(-full["best_dist"], K)
+        rank = full["best_dist"] + full["best_dist_lo"] if is_dd \
+            else full["best_dist"]
+        _, idx = jax.lax.top_k(-rank, K)
         out = {"A": full["A"],
-               "best_dist": -negd,
+               "best_dist": full["best_dist"][idx],
                "best_dev": full["best_dev"][idx],
                "best_root": full["best_root"][idx],
                "sol_count": jnp.sum(full["sol_count"])[None],
                "nodes": full["nodes"][None],
                "cursor": full["cursor"][None],
                "rounds": full["rounds"][None]}
+        if is_dd:
+            out["A_lo"] = full["A_lo"]
+            out["best_dist_lo"] = full["best_dist_lo"][idx]
         if findsubsols:
             out["subsol_dist"] = full["subsol_dist"][None]
             out["subsol_vec"] = full["subsol_vec"][None]
             out["subsol_root"] = full["subsol_root"][None]
         return out
 
+    if is_dd:
+        def shard_fn(mut_h, mut_l, rdiag_h, rdiag_l, prune_h, prune_l,
+                     fix_h, fix_l, cp0_h, cp0_l, rx_a, ra_a, rpd_h, rpd_l,
+                     A_h, A_l):
+            full = _mesh_run_dd(
+                mut_h, mut_l, rdiag_h, rdiag_l, prune_h, prune_l,
+                fix_h, fix_l, cp0_h, cp0_l, rx_a, ra_a, rpd_h, rpd_l,
+                A_h, A_l, m=m, is_svp=is_svp, count_mode=count_mode,
+                sync_steps=sync_steps, max_rounds=1 << 22, batch=batch,
+                dual=dual, findsubsols=findsubsols)
+            return finalize(full)
+
+        in_specs = (P(),) * 10 + (P("enum"), P("enum"), P("enum"),
+                                  P("enum")) + (P(), P())
+    else:
+        def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, ra_a,
+                     rpd_a, A_a):
+            full = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
+                             rx_a, ra_a, rpd_a, A_a, m=m, is_svp=is_svp,
+                             count_mode=count_mode, sync_steps=sync_steps,
+                             max_rounds=1 << 22, batch=batch, dual=dual,
+                             findsubsols=findsubsols)
+            return finalize(full)
+
+        in_specs = (P(), P(), P(), P(), P(), P("enum"), P("enum"),
+                    P("enum"), P())
+
     lane = P("enum")
     specs = {"A": P(), "best_dist": lane, "best_dev": lane,
              "best_root": lane, "sol_count": lane, "nodes": lane,
              "cursor": lane, "rounds": lane}
+    if is_dd:
+        specs["A_lo"] = P()
+        specs["best_dist_lo"] = lane
     if findsubsols:
         specs.update({"subsol_dist": lane, "subsol_vec": lane,
                       "subsol_root": lane})
     run = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), lane, lane, lane, P()),
+        in_specs=in_specs,
         out_specs=specs,
         check_vma=False)
     out = jax.jit(run)
@@ -259,7 +478,7 @@ class ShardedEnumerator:
 
     def __init__(self, mesh: Mesh, batch_per_device: int = 512,
                  steps_per_sweep: int = 2048,
-                 max_device_levels: int = 64, dtype=None):
+                 max_device_levels: int = 128, dtype=None):
         from ..jaxsetup import jnp as _jnp
         self.mesh = mesh
         self.n_dev = mesh.devices.size
@@ -267,7 +486,8 @@ class ShardedEnumerator:
         self.sync_steps = steps_per_sweep
         self.max_device_levels = max_device_levels
         self.dtype = dtype if dtype is not None else _jnp.float64
-        self.bound_slack = 1.0 + 1e-5 if self.dtype == _jnp.float32 else 1.0
+        self.bound_slack = {_jnp.float32: 1.0 + 1e-5,
+                            "dd32": 1.0 + 1e-9}.get(self.dtype, 1.0)
         self.nodes = np.zeros(0, dtype=np.int64)
 
     def enumerate(self, mut: np.ndarray, rdiag: np.ndarray,
@@ -313,7 +533,7 @@ class ShardedEnumerator:
             mut_fix_pad[:m_real, :nfix] = mut[:m_real, m_real:d]
 
         dt = self.dtype
-        if dt == jnp.float32:
+        if dt == jnp.float32 or dt == "dd32":
             # keep the virtual-level sentinel representable in f32
             rdiag_pad[m_real:] = 1e30
 
@@ -341,24 +561,45 @@ class ShardedEnumerator:
         B = self.batch_per_device
         A0 = float(maxdist) * self.bound_slack
 
+        dtype_str = "dd32" if dt == "dd32" else str(jnp.dtype(dt))
         run = _build_sharded_run(
             self.mesh, m, nfix_pad, bool(is_svp), bool(count_mode),
-            self.sync_steps, B, str(jnp.dtype(dt)), dual=bool(dual),
+            self.sync_steps, B, dtype_str, dual=bool(dual),
             findsubsols=findsubsols)
         ShardedEnumerator.launches += 1
         with self.mesh:
-            out = run(jnp.asarray(mut_pad, dt), jnp.asarray(rdiag_pad, dt),
-                      jnp.asarray(prune_pad, dt),
-                      jnp.asarray(mut_fix_pad, dt),
-                      jnp.asarray(cp0_pad, dt), jnp.asarray(rx_flat, dt),
-                      jnp.asarray(ra_flat, dt),
-                      jnp.asarray(rpd_flat, dt),
-                      jnp.asarray(A0, dtype=dt))
+            if dt == "dd32":
+                from ..enum.dd_kernel import split_dd
+                mh, ml = split_dd(mut_pad)
+                rh, rl = split_dd(rdiag_pad)
+                ph, pl = split_dd(prune_pad)
+                fh, fl = split_dd(mut_fix_pad)
+                ch, cl = split_dd(cp0_pad)
+                pdh, pdl = split_dd(rpd_flat)
+                Ah, Al = split_dd(np.float64(A0))
+                out = run(mh, ml, rh, rl, ph, pl, fh, fl, ch, cl,
+                          jnp.asarray(rx_flat, jnp.float32),
+                          jnp.asarray(ra_flat, jnp.float32),
+                          pdh, pdl, Ah, Al)
+            else:
+                out = run(jnp.asarray(mut_pad, dt),
+                          jnp.asarray(rdiag_pad, dt),
+                          jnp.asarray(prune_pad, dt),
+                          jnp.asarray(mut_fix_pad, dt),
+                          jnp.asarray(cp0_pad, dt),
+                          jnp.asarray(rx_flat, dt),
+                          jnp.asarray(ra_flat, dt),
+                          jnp.asarray(rpd_flat, dt),
+                          jnp.asarray(A0, dtype=dt))
 
         out = jax.device_get(out)    # ONE batched host transfer
-        self.nodes[:m] += np.asarray(out["nodes"]).reshape(
-            self.n_dev, m).sum(axis=0).astype(np.int64)
-        bd = np.array(out["best_dist"])
+        # levels m_real..m-1 are virtual bucket padding (see
+        # TPUEnumerator.enumerate): drop their artifact counters
+        self.nodes[:m_real] += np.asarray(out["nodes"]).reshape(
+            self.n_dev, m).sum(axis=0).astype(np.int64)[:m_real]
+        bd = np.array(out["best_dist"], dtype=np.float64)
+        if dt == "dd32":
+            bd = bd + np.array(out["best_dist_lo"], dtype=np.float64)
         bdev = np.array(out["best_dev"])
         broot = np.array(out["best_root"])
         found = np.isfinite(bd)

@@ -355,8 +355,16 @@ class Pruner:
 
     # -- optimizers -----------------------------------------------------------
     def _gradient(self, b: np.ndarray) -> np.ndarray:
-        """log-target numerical gradient with the reference's epsilon
-        scheme (pruner_cost.cpp:115-134); last coordinate pinned."""
+        """log-target gradient: analytic jax.grad of the polynomial cost
+        when it applies (evec vector, moderate d — see pruner/jaxgrad.py),
+        else the reference's numerical epsilon scheme
+        (pruner_cost.cpp:115-134); last coordinate pinned."""
+        import os
+        if os.environ.get("FPLLL_TPU_PRUNER_JAXGRAD", "1") == "1":
+            from . import jaxgrad
+            g = jaxgrad.gradient(self, b)
+            if g is not None:
+                return g
         dn = len(b)
         res = np.zeros(dn)
         for i in range(dn - 1):

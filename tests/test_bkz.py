@@ -24,6 +24,21 @@ def first_norm(b):
     return b.row_norm_sq(0)
 
 
+def root_hermite_factor(b):
+    """delta = (||b_1|| / det^{1/d})^{1/d} from the GSO profile."""
+    import math
+    m = MatGSO(b.copy(), flags=GSO_ROW_EXPO)
+    m.update_gso()
+    d = m.d
+    logdet = 0.0
+    for i in range(d):
+        v, e = m.get_r_exp(i, i)
+        logdet += math.log(float(v)) + e * math.log(2.0)
+    v0, e0 = m.get_r_exp(0, 0)
+    lognorm = 0.5 * (math.log(float(v0)) + e0 * math.log(2.0))
+    return math.exp((lognorm - logdet / (2.0 * d)) / d)
+
+
 def test_bkz_improves_over_lll():
     RandGen.init_with_seed(42)
     b = gen.gen_qary_bits(24, 12, 12)
@@ -148,12 +163,19 @@ def test_checkpoint_roundtrip_bigints(tmp_path):
 
 
 @pytest.mark.slow
-def test_bkz2_block40_dim60_device_path():
+def test_bkz2_block40_dim60_device_path(monkeypatch):
     """BKZ-2.0 at the scale the framework claims (block >= 40, dim >= 60)
     through the TPU-eligible facade path: block 40 exceeds the device
-    threshold (FPLLL_TPU_MIN_ENUM_DIM = 34), so every full window runs
-    the batched kernel — the regime round-1 CI never exercised
-    (reference runs dim 55+ in test_bkz.cpp:322-389)."""
+    threshold (FPLLL_TPU_MIN_ENUM_DIM = 34) and the native-first hybrid
+    floor is tiny, so every full window runs the batched kernel — the
+    regime round-1 CI never exercised (reference runs dim 55+ in
+    test_bkz.cpp:322-389). Quality gate: root-Hermite factor must reach
+    the BKZ-40 regime, so a broken SVP window that merely leaves the
+    basis LLL-reduced fails. Single-chip: the 8-shard virtual mesh
+    shares the same CPU cores and has its own tests — compiling its
+    shard_map per window bucket only slows this one down."""
+    monkeypatch.setenv("FPLLL_TPU_HYBRID_NODES", "20000")
+    monkeypatch.setenv("FPLLL_TPU_MESH", "0")
     RandGen.init_with_seed(77)
     b = gen.gen_qary_bits(60, 30, 20)
     from fplll_tpu.algs.wrapper import lll_reduction
@@ -167,3 +189,43 @@ def test_bkz2_block40_dim60_device_path():
     assert first_norm(b) <= pre_norm
     m = MatGSO(b, flags=GSO_ROW_EXPO)
     assert is_lll_reduced(m, 0.98, 0.52)
+    # BKZ-40 predicts ~1.0122; LLL alone sits near 1.02+
+    assert root_hermite_factor(b) < 1.016
+
+
+@pytest.mark.slow
+def test_bkz2_block45_odd_runs_pruned():
+    """Odd block sizes must have non-empty pruning in the shipped
+    strategies (round-2 gap: odd blocks 27-59 fell back to UNPRUNED
+    enumeration and block 45 was effectively unusable). One tour at
+    block 45 / dim 60 must finish quickly and reach BKZ-45 quality."""
+    strategies = load_strategies_json("default.json")
+    assert strategies[45].pruning_parameters, "block 45 unpruned"
+    assert strategies[59].pruning_parameters, "block 59 unpruned"
+    RandGen.init_with_seed(77)
+    b = gen.gen_qary_bits(60, 30, 20)
+    from fplll_tpu.algs.wrapper import lll_reduction
+    lll_reduction(b)
+    param = BKZParam(45, strategies,
+                     flags=BKZ_MAX_LOOPS | BKZ_GH_BND, max_loops=1)
+    st = bkz_reduction(b, param)
+    assert st in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
+    assert root_hermite_factor(b) < 1.016
+
+
+@pytest.mark.slow
+def test_bkz2_block60_dim70():
+    """The BASELINE config-4 block size: one BKZ-2.0 tour at block 60
+    must complete with the shipped strategies and reach the block-60
+    quality regime (round-2 gap: block 60 was never run end-to-end)."""
+    strategies = load_strategies_json("default.json")
+    assert strategies[60].pruning_parameters
+    RandGen.init_with_seed(99)
+    b = gen.gen_qary_bits(70, 35, 20)
+    from fplll_tpu.algs.wrapper import lll_reduction
+    lll_reduction(b)
+    param = BKZParam(60, strategies,
+                     flags=BKZ_MAX_LOOPS | BKZ_GH_BND, max_loops=1)
+    st = bkz_reduction(b, param)
+    assert st in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
+    assert root_hermite_factor(b) < 1.014

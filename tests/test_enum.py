@@ -212,3 +212,38 @@ def test_leech_list_cvp_count(lattice_dir, target_offset):
                    np.full(24, target_offset), rad, False, ev,
                    count_mode=True)
     assert ev.sol_count == 196561
+
+
+@pytest.mark.slow
+def test_deep_tree_dim80_device():
+    """A dim-80 tree runs device-side within the raised 128-level kernel
+    ceiling (round-2 gap: max_device_levels was 64 and the top half of a
+    deep tree fell back to unbounded host expansion). A sub-GH radius in
+    count mode keeps the tree small while the kernel still carries > 64
+    levels; the native C DFS provides the exact count to compare."""
+    from fplll_tpu.native import native_enumerate
+
+    d, seed = 80, 3
+    RandGen.init_with_seed(seed)
+    b = gen.gen_uniform(d, 8)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(90))
+    gso.update_gso()
+    mut, rdiag, normexp = gso.export_mu_r(0, d)
+    mut = np.asarray(mut)
+    rdiag = np.asarray(rdiag)
+    log_ball = (d / 2.0) * math.log(math.pi) - math.lgamma(d / 2.0 + 1.0)
+    gh2 = math.exp(float(np.mean(np.log(rdiag))) - 2.0 * log_ball / d)
+    A = 0.25 * gh2              # sub-GH: a small but deep tree (~1e5 nodes)
+    ev = FastEvaluator()
+    enum = TPUEnumerator(batch=256)
+    enum.enumerate(mut, rdiag, None, np.zeros(d), A, True, ev,
+                   count_mode=True)
+    assert enum._last_m_real > 64, \
+        "deep tree was not carried by the device kernel"
+    assert enum.nodes.sum() > 0
+    ref = native_enumerate(mut, rdiag, None, None, A, True, False, True)
+    if ref is not None:
+        # f32 tree vs f64 DFS: counts agree up to boundary rounding
+        assert abs(enum.nodes.sum() - ref[4].sum()) <= \
+            max(8, 0.02 * ref[4].sum())

@@ -130,3 +130,98 @@ def test_sharded_count_mode(mesh, lattice_dir):
     se.enumerate(mut, rdiag, None, np.zeros(24), rad, False, ev,
                  count_mode=True)
     assert ev.sol_count == 196561
+
+
+@pytest.mark.parametrize("d,seed", [(22, 5)])
+def test_sharded_dd32_matches_oracle(mesh, d, seed):
+    """Certified-precision (dd32 f32-pair) trees now run the mesh path
+    too (round-2 gap: the sharded driver carried no dd state, so every
+    proved SVP/CVP search was single-chip by construction)."""
+    RandGen.init_with_seed(seed)
+    b = gen.gen_uniform(d, 12)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    mut, rdiag, normexp = gso.export_mu_r(0, d)
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001
+    A = math.ldexp(A0, -normexp)
+
+    ev_c = FastEvaluator()
+    EnumerationDyn(gso, ev_c).enumerate(0, d, A0, 0)
+    cnorm = exact_norm(b, ev_c.begin()[1])
+
+    ev = FastEvaluator()
+    ev.set_normexp(normexp)
+    se = ShardedEnumerator(mesh, batch_per_device=64, dtype="dd32")
+    se.enumerate(mut, rdiag, None, np.zeros(d), A, True, ev)
+    assert not ev.empty()
+    assert exact_norm(b, ev.begin()[1]) == cnorm
+    assert se.nodes.sum() > 0
+
+
+def test_sharded_dd32_dual_and_subsols(mesh):
+    """dd32 mesh searches carry dual trees and subsolution capture
+    (round-2 gap: the dd kernel declined both)."""
+    d, seed = 18, 6
+    RandGen.init_with_seed(seed)
+    b = gen.gen_uniform(d, 10)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001
+
+    # host oracle dual search for ground truth
+    ev_c = FastEvaluator(find_subsolutions=True)
+    EnumerationDyn(gso, ev_c).enumerate(0, d, A0, 0, dual=True)
+    assert not ev_c.empty()
+
+    from fplll_tpu.enum import tpu as enum_tpu
+    mut, rdiag, normexp = gso.export_mu_r(0, d)
+    normexp_d = -normexp
+    rd = np.asarray(rdiag, dtype=np.float64)
+    mu = np.asarray(mut, dtype=np.float64)
+    rdiag_d = (1.0 / (rd * 2.0 ** (-2 * normexp_d)))[::-1].copy()
+    mut_d = np.triu(-(mu.T)[::-1, ::-1], 1)
+    # direct kernel call: use a tight bound (the oracle's found distance);
+    # the loose caller bound is handled by the facade's GH deepening
+    A = math.ldexp(ev_c.begin()[0], -normexp_d) * 1.000001
+
+    ev = FastEvaluator(find_subsolutions=True)
+    ev.set_normexp(normexp_d)
+    se = ShardedEnumerator(mesh, batch_per_device=64, dtype="dd32")
+    se.enumerate(mut_d, rdiag_d, None, np.zeros(d), A, True, ev, dual=True)
+    assert not ev.empty()
+    dist_c = ev_c.begin()[0]
+    dist_m = ev.begin()[0]
+    assert abs(math.ldexp(dist_m, -normexp_d) -
+               math.ldexp(dist_c, -ev_c.normExp)) <= \
+        1e-6 * abs(math.ldexp(dist_c, -ev_c.normExp))
+    assert ev.sub_solutions, "no subsolutions captured on the dd32 mesh"
+
+
+@pytest.mark.slow
+def test_facade_mesh_realistic_dim(mesh, monkeypatch):
+    """Facade-path mesh run at a realistic tree size (dim >= 34, no
+    _MIN_TPU_DIM monkeypatch): the production gate itself must route a
+    device-sized search through the sharded driver (round-2 gap: every
+    mesh test ran d <= 26 with the gate patched down)."""
+    from fplll_tpu.enum.api import Enumeration
+
+    monkeypatch.setenv("FPLLL_TPU_HYBRID_NODES", "0")
+    d, seed = 36, 8
+    RandGen.init_with_seed(seed)
+    b = gen.gen_uniform(d, 10)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(80))
+    gso.update_gso()
+    A0 = min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001
+
+    before = ShardedEnumerator.launches
+    ev = FastEvaluator()
+    facade = Enumeration(gso, ev)
+    facade.enumerate(0, d, A0, 0)
+    assert ShardedEnumerator.launches > before
+    assert not ev.empty()
+    assert facade.get_nodes() > 0
+    # the found vector must be at least as short as the best basis row
+    assert ev.begin()[0] <= A0

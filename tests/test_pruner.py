@@ -180,3 +180,42 @@ def test_multi_shape_averaging():
     assert p.n == N
     c = p.single_enum_cost([1.0] * N)
     assert math.isfinite(c) and c > 0
+
+
+def test_jax_gradient_matches_numerical():
+    """The analytic jax.grad path (SURVEY §7's replacement of the
+    reference's numerical log-gradient, pruner_cost.cpp:115-134) must
+    agree with the numerical scheme in direction and magnitude."""
+    import math
+    import os
+
+    import numpy as np
+
+    from fplll_tpu.pruner import jaxgrad
+    from fplll_tpu.pruner.pruner import (Pruner,
+                                         PRUNER_METRIC_PROBABILITY_OF_SHORTEST)
+
+    ld = math.log(1.012)
+    r = [math.exp(-4 * ld * i) for i in range(40)]
+    gh = math.exp(sum(math.log(x) for x in r) / 40 -
+                  2 * ((40 / 2) * math.log(math.pi) -
+                       math.lgamma(21)) / 40)
+    p = Pruner(1.1 * gh, 1e10, r, 0.5,
+               PRUNER_METRIC_PROBABILITY_OF_SHORTEST)
+    b = np.linspace(0.3, 1.0, p.d)
+    p.enforce(b)
+    g_jax = jaxgrad.gradient(p, b)
+    assert g_jax is not None
+    old = os.environ.get("FPLLL_TPU_PRUNER_JAXGRAD")
+    os.environ["FPLLL_TPU_PRUNER_JAXGRAD"] = "0"
+    try:
+        g_num = p._gradient(b.copy())
+    finally:
+        if old is None:
+            os.environ.pop("FPLLL_TPU_PRUNER_JAXGRAD", None)
+        else:
+            os.environ["FPLLL_TPU_PRUNER_JAXGRAD"] = old
+    cos = float(np.dot(g_jax, g_num) /
+                (np.linalg.norm(g_jax) * np.linalg.norm(g_num)))
+    assert cos > 0.999
+    assert g_jax[-1] == 0.0

@@ -56,9 +56,15 @@ def gh_of(r):
 
 
 def target_prob(beta: int) -> float:
-    if beta <= 60:
+    """Extreme-pruning regime: keep ~0.5 per trial through block 40, then
+    decay geometrically to 0.05 at block 90 (p(60) ~ 0.2, p(75) ~ 0.1).
+    The round-3 calibration found p = 0.5 at block 60 costs ~23x more
+    per window than p = 0.3 for the same success budget — cheap
+    rerandomized trials win exactly as the reference's tuned strategies
+    do (bkz.cpp:300-344 loops until the probability budget is spent)."""
+    if beta <= 40:
         return 0.5
-    return max(0.05, 0.5 - 0.45 * (beta - 60) / 30.0)
+    return max(0.05, 0.5 * 0.1 ** ((beta - 40) / 50.0))
 
 
 def preproc_sizes(beta: int):
