@@ -133,16 +133,15 @@ class BKZReduction:
         if not isinstance(m, MatGSO) or m.enable_transform or \
                 m.enable_int_gram or type(m.ctx).__name__ != "F64Ctx":
             return None
-        import numpy as np
         from ..native import native_lll_fast
         from ..ops.intmat import IntMat
-        snap = m.b.a[:end].copy()       # pointer copies of immutable ints
         sub = IntMat(data=m.b.a[:end])  # view: native writes through
-        st = native_lll_fast(sub, None, self.lll_obj.delta,
-                             self.lll_obj.eta, size_red_only=size_red_only)
-        if st is None:
+        out = native_lll_fast(sub, None, self.lll_obj.delta,
+                              self.lll_obj.eta, size_red_only=size_red_only,
+                              report_changed=True)
+        if out is None:
             return None
-        changed = not bool(np.array_equal(snap, m.b.a[:end]))
+        st, changed = out
         if changed:
             # resync: every row's GSO state may reference the changed
             # prefix; one blocked-Cholesky full recompute (ops/blockgso

@@ -209,7 +209,7 @@ def _limbs_to_ints(a: np.ndarray):
             a[:, :, 1:] == np.where((low < 0)[:, :, None],
                                     np.uint64(0xFFFFFFFFFFFFFFFF),
                                     np.uint64(0)))):
-        return [[int(v) for v in r] for r in low]
+        return low.tolist()      # C-level int64 -> PyLong conversion
     half = 1 << (64 * L - 1)
     mod = 1 << (64 * L)
     rows = []
@@ -226,13 +226,24 @@ def _limbs_to_ints(a: np.ndarray):
     return rows
 
 
+def _copy_back(mat, limbs) -> None:
+    rows = _limbs_to_ints(limbs)
+    mat.a[:, :] = np.array(rows, dtype=object)
+
+
 def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
-                    kappa_end: int = -1, size_red_only: bool = False):
+                    kappa_end: int = -1, size_red_only: bool = False,
+                    report_changed: bool = False):
     """Run the native fast LLL on an IntMat in place.
 
     Returns the RED_* status, or None when the native core is
     unavailable/inapplicable (caller falls back to the Python engine).
     Status 13 (limb overflow) also means "retry in Python".
+    With report_changed=True the return is (status, basis_changed), the
+    change detected on the int64 limb tensors — the BKZ loop calls this
+    on mostly-already-reduced prefixes (one call per window of every
+    recursion level), and an unchanged run skips the limb-to-int
+    conversion and the caller's GSO resync entirely.
     """
     lib = get_lll_lib()
     if lib is None:
@@ -240,11 +251,20 @@ def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
     d, n = b.nrows, b.ncols
     if d < 2 or d > 500 or n > 4000:
         return None
-    maxbits = b.get_max_exp()
+    # one vectorized int64 view serves both the limb sizing and packing
+    try:
+        arr = b.a.astype(np.int64)
+    except (OverflowError, TypeError):
+        arr = None
+    if arr is not None:
+        maxbits = int(np.abs(arr).max()).bit_length() if arr.size else 0
+    else:
+        maxbits = b.get_max_exp()
     L = max(2, (maxbits + 130) // 64 + 2)
     if L > 480:
         return None
-    blimbs = _ints_to_limbs(b.a, L)
+    blimbs = _ints_to_limbs(arr if arr is not None else b.a, L)
+    limbs0 = blimbs.copy()
     ulimbs = None
     if u is not None:
         ulimbs = _ints_to_limbs(u.a, L)
@@ -255,30 +275,16 @@ def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
         float(delta), float(eta), int(kappa_end), int(size_red_only),
         ctypes.byref(n_swaps))
     native_lll_fast.last_n_swaps = int(n_swaps.value)
-    if status in (0,):
-        new_rows = _limbs_to_ints(blimbs)
-        for i in range(d):
-            for j in range(n):
-                b.a[i, j] = new_rows[i][j]
-        if u is not None and ulimbs is not None:
-            new_u = _limbs_to_ints(ulimbs)
-            for i in range(d):
-                for j in range(u.ncols):
-                    u.a[i, j] = new_u[i][j]
-        return 0
-    if status in (2, 3, 4, 13):
-        # partial progress is still valid basis state; copy back so the
-        # python escalation continues from it (wrapper semantics)
-        new_rows = _limbs_to_ints(blimbs)
-        for i in range(d):
-            for j in range(n):
-                b.a[i, j] = new_rows[i][j]
-        if u is not None and ulimbs is not None:
-            new_u = _limbs_to_ints(ulimbs)
-            for i in range(d):
-                for j in range(u.ncols):
-                    u.a[i, j] = new_u[i][j]
-        return int(status)
+    if status in (0, 2, 3, 4, 13):
+        # partial progress (nonzero statuses) is still valid basis state;
+        # copy back so the python escalation continues from it
+        changed = not bool(np.array_equal(blimbs, limbs0))
+        if changed:
+            _copy_back(b, blimbs)
+            if u is not None and ulimbs is not None:
+                _copy_back(u, ulimbs)
+        st = int(status)
+        return (st, changed) if report_changed else st
     return None
 
 
