@@ -133,6 +133,18 @@ class BKZReduction:
         if not isinstance(m, MatGSO) or m.enable_transform or \
                 m.enable_int_gram or type(m.ctx).__name__ != "F64Ctx":
             return None
+        # prefix-clean memo: LLL/size reduction holds on every prefix of
+        # a reduced prefix (the conditions only involve earlier rows), so
+        # if the basis is untouched since a successful native pass over a
+        # prefix >= end, nothing can have changed — skip the call. The
+        # recursion otherwise re-asks this ~100k times per block-60 tour.
+        ver = m.b.version
+        clean_lll = getattr(self, "_clean_lll", (-1, -1))
+        clean_sr = getattr(self, "_clean_sr", (-1, -1))
+        if clean_lll[1] == ver and end <= clean_lll[0]:
+            return 0, False
+        if size_red_only and clean_sr[1] == ver and end <= clean_sr[0]:
+            return 0, False
         from ..native import native_lll_fast
         from ..ops.intmat import IntMat
         sub = IntMat(data=m.b.a[:end])  # view: native writes through
@@ -142,6 +154,22 @@ class BKZReduction:
         if out is None:
             return None
         st, changed = out
+        if changed:
+            m.b.version += 1     # the native core wrote through the view
+        if st == 0:
+            ver2 = m.b.version
+            rec = (end, ver2)
+            if size_red_only:
+                if clean_sr[1] == ver2:
+                    rec = (max(end, clean_sr[0]), ver2)
+                self._clean_sr = rec
+            else:
+                if clean_lll[1] == ver2:
+                    rec = (max(end, clean_lll[0]), ver2)
+                self._clean_lll = rec
+                if getattr(self, "_clean_sr", (-1, -1))[1] != ver2 or \
+                        self._clean_sr[0] < rec[0]:
+                    self._clean_sr = rec   # LLL-reduced implies size-reduced
         if changed:
             # resync: every row's GSO state may reference the changed
             # prefix; one blocked-Cholesky full recompute (ops/blockgso

@@ -50,6 +50,7 @@ _ETA_DEP = [1., 1., 1.0521, 1.1254, 1.2535, 1.3957, 1.6231, 1.8189, 2.1025,
 def _rotate_rows_front(m: Optional[IntMat], i: int, d: int) -> None:
     if m is not None and m.nrows:
         import numpy as np
+        m.version += 1
         m.a[0:d] = np.concatenate([m.a[i:d], m.a[0:i]], axis=0)
 
 

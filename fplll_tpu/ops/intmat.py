@@ -38,6 +38,9 @@ class IntMat:
     """Row-major exact integer matrix (the ZZ_mat equivalent)."""
 
     def __init__(self, rows: int = 0, cols: int = 0, data: np.ndarray | None = None):
+        # monotone mutation stamp: every in-place row operation bumps it,
+        # so callers can memoize "prefix [0, e) is already reduced"
+        self.version = 0
         if data is not None:
             assert data.dtype == object
             self.a = data
@@ -84,6 +87,7 @@ class IntMat:
         return self.ncols
 
     def resize(self, r: int, c: int) -> None:
+        self.version += 1
         new = np.empty((r, c), dtype=object)
         for i in range(r):
             for j in range(c):
@@ -97,6 +101,7 @@ class IntMat:
         return self.a[ij]
 
     def __setitem__(self, ij, v) -> None:
+        self.version += 1
         if isinstance(v, (list, tuple, np.ndarray)):
             self.a[ij] = np.array([int(x) for x in v], dtype=object)
         else:
@@ -110,13 +115,16 @@ class IntMat:
 
     # -- row operations (reference: numvect.h / matrix.h) ------------------
     def row_add(self, i: int, j: int) -> None:
+        self.version += 1
         self.a[i] = self.a[i] + self.a[j]
 
     def row_sub(self, i: int, j: int) -> None:
+        self.version += 1
         self.a[i] = self.a[i] - self.a[j]
 
     def row_addmul(self, i: int, j: int, x: int) -> None:
         """b[i] += x * b[j] with exact integer x."""
+        self.version += 1
         if x == 1:
             self.row_add(i, j)
         elif x == -1:
@@ -129,10 +137,12 @@ class IntMat:
         self.row_addmul(i, j, int(x) << expo if expo >= 0 else int(x))
 
     def row_swap(self, i: int, j: int) -> None:
+        self.version += 1
         self.a[[i, j]] = self.a[[j, i]]
 
     def rotate_right(self, first: int, last: int) -> None:
         """Row last -> first, rows [first,last) shift down (matrix.h:176)."""
+        self.version += 1
         if first == last:
             return
         tmp = self.a[last].copy()
@@ -141,6 +151,7 @@ class IntMat:
 
     def rotate_left(self, first: int, last: int) -> None:
         """Row first -> last, rows (first,last] shift up."""
+        self.version += 1
         if first == last:
             return
         tmp = self.a[first].copy()
@@ -148,6 +159,7 @@ class IntMat:
         self.a[last] = tmp
 
     def row_negate(self, i: int) -> None:
+        self.version += 1
         self.a[i] = -self.a[i]
 
     # -- reductions --------------------------------------------------------
