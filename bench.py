@@ -205,6 +205,7 @@ def measure_bkz20_dim60(seed: int = 13) -> float:
 
 
 def main() -> int:
+    t_start = time.time()
     d = int(sys.argv[1]) if len(sys.argv) > 1 else 46
     max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200000
     from fplll_tpu.jaxsetup import jnp
@@ -241,8 +242,13 @@ def main() -> int:
         except Exception as e:     # bench must still print its line
             extra["end_to_end_error"] = repr(e)
         # BASELINE.md config 4 headline: BKZ-2.0 block 60, dim 80, one
-        # timed tour after a progressive 40 -> 50 warm-up
-        if os.environ.get("FPLLL_BENCH_BLOCK60", "1") != "0":
+        # timed tour after a progressive 40 -> 50 warm-up. Skipped when
+        # the earlier legs already consumed the time budget, so a driver
+        # timeout cannot lose the whole JSON line.
+        budget_s = float(os.environ.get("FPLLL_BENCH_BUDGET_S", "1200"))
+        if time.time() - t_start > budget_s:
+            extra["block60_skipped"] = "time budget exhausted"
+        elif os.environ.get("FPLLL_BENCH_BLOCK60", "1") != "0":
             try:
                 dt, nodes, rate = measure_end_to_end(block=60,
                                                      progressive=(40, 50))
