@@ -355,13 +355,112 @@ class BKZReduction:
         new_first = ctx.to_float(v) * 2.0 ** (new_first_expo - old_first_expo)
         return (old_first >= new_first) if dual else (old_first <= new_first)
 
+    # -- native tour fast path (bkz_core.c) ----------------------------------
+    def _native_tour(self, par: BKZParam, min_row: int,
+                     max_row: int) -> bool | None:
+        """Run one full plain tour (trunc_tour + terminal HKZ) in the
+        native C engine over the limb basis, resynchronizing the Python
+        GSO state afterwards. Returns the clean flag, or None when the
+        native engine is inapplicable/unavailable (callers fall through
+        to the Python engines)."""
+        import os
+        m = self.m
+        if os.environ.get("FPLLL_TPU_NATIVE_BKZ", "1") != "1" or \
+                os.environ.get("FPLLL_TPU_NATIVE_LLL", "1") != "1":
+            return None
+        if getattr(self, "_variant_tour", False):
+            return None
+        if not isinstance(m, MatGSO) or m.enable_transform or \
+                m.enable_int_gram or type(m.ctx).__name__ != "F64Ctx":
+            return None
+        if par.flags & BKZ_BOUNDED_LLL:
+            return None
+        if par.block_size < 2 or max_row - min_row < 4 or max_row > m.d:
+            return None
+        from ..native import get_bkz_lib, native_bkz_tour, pack_strategies
+        if get_bkz_lib() is None:
+            return None
+        pack = getattr(par, "_native_strat_pack", None)
+        if pack is None or getattr(par, "_native_strat_src", None) \
+                is not par.strategies:
+            pack = pack_strategies(par.strategies)
+            par._native_strat_pack = pack
+            par._native_strat_src = par.strategies
+        cb = getattr(self, "_native_enum_cb", None)
+        if cb is None:
+            cb = self._make_native_enum_cb()
+            self._native_enum_cb = cb
+        # crossover + device-eligibility policy shared with the facade
+        # (enum/tpu.py): below _MIN_TPU_DIM the sequential core always
+        # wins; above it, escalate past the measured node budget
+        from ..enum.tpu import _MIN_TPU_DIM
+        from ..jaxsetup import jax
+        default_budget = 2_000_000 if jax.default_backend() == "tpu" \
+            else 64_000_000
+        budget = int(os.environ.get("FPLLL_TPU_HYBRID_NODES",
+                                    str(default_budget)))
+        out = native_bkz_tour(
+            m.b, pack, lll_delta=self.lll_obj.delta, lll_eta=self.lll_obj.eta,
+            radius_delta=self.delta, block_size=par.block_size,
+            flags=par.flags, gh_factor=par.gh_factor,
+            min_succ=par.min_success_probability,
+            density=par.rerandomization_density,
+            hybrid_budget=budget, min_device_dim=_MIN_TPU_DIM,
+            trial_batch_max=8, seed=RandGen.get().getrandbits(64),
+            min_row=min_row, max_row=max_row, enum_cb=cb)
+        if out is None:
+            return None
+        status, nodes, n_swaps, clean, changed = out
+        self.nodes += int(nodes)
+        if changed:
+            m.b.version += 1
+            self._clean_lll = (-1, -1)
+            self._clean_sr = (-1, -1)
+            for i in range(m.d):
+                m.invalidate_gso_row(i, 0)
+            for i in range(m.d):
+                m.update_bf(i)
+                m.invalidate_gram_row(i)
+            m.update_gso()
+        if status != 0:
+            return None     # python redoes the tour from the current basis
+        return bool(clean)
+
+    def _make_native_enum_cb(self):
+        """Build the ctypes callback handing device-sized window
+        enumerations from the C loop to the batched kernel."""
+        import numpy as np
+
+        from ..native import ENUM_DEV_CB
+
+        def cb(G, m_dim, mut_p, rdiag_p, prune_p, maxdist_p, sol_p, dist_p,
+               nodes_p):
+            try:
+                from ..enum.tpu import device_enumerate_windows
+                mut = np.ctypeslib.as_array(mut_p, (G, m_dim, m_dim))
+                rdiag = np.ctypeslib.as_array(rdiag_p, (G, m_dim))
+                prune = np.ctypeslib.as_array(prune_p, (G, m_dim))
+                maxd = np.ctypeslib.as_array(maxdist_p, (G,))
+                dists, sols, nodes = device_enumerate_windows(
+                    mut, rdiag, prune, maxd)
+                np.ctypeslib.as_array(sol_p, (G, m_dim))[:] = sols
+                np.ctypeslib.as_array(dist_p, (G,))[:] = dists
+                nodes_p[0] = float(nodes)
+                return 0
+            except Exception:
+                return -1
+
+        return ENUM_DEV_CB(cb)
+
     # -- tours (bkz.cpp:360-520) ---------------------------------------------
     def tour(self, loop: int, kappa_max: List[int], par: BKZParam,
              min_row: int, max_row: int) -> bool:
-        clean = True
-        clean &= self.trunc_tour(kappa_max, par, min_row, max_row)
-        clean &= self.hkz(kappa_max, par, max(max_row - par.block_size, 0),
-                          max_row)
+        clean = self._native_tour(par, min_row, max_row)
+        if clean is None:
+            clean = True
+            clean &= self.trunc_tour(kappa_max, par, min_row, max_row)
+            clean &= self.hkz(kappa_max, par,
+                              max(max_row - par.block_size, 0), max_row)
         if par.flags & BKZ_VERBOSE:
             self.print_tour(loop, min_row, max_row)
         if par.flags & BKZ_DUMP_GSO:

@@ -805,6 +805,54 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         total_nodes
 
 
+def device_enumerate_windows(muts, rdiags, prunes, maxdists):
+    """Enumerate G independent SVP window problems on the device — the
+    escalation target of the native BKZ loop (bkz_core.c window_enum_c).
+
+    muts: (G, m, m) transposed-upper mu, rdiags/prunes: (G, m), maxdists:
+    (G,), all in the caller's normalized scale. Returns (dists, sols,
+    total_nodes) with dists[g] = inf when trial g found nothing.
+
+    Mirrors the facade's policies (tpu_external_enumerator): f32 tree with
+    slack + exact-int postprocessing upstream, GH iterative deepening for
+    bounds far past the Gaussian heuristic.
+    """
+    from .evaluator import FastEvaluator
+
+    muts = np.asarray(muts, dtype=np.float64)
+    rdiags = np.asarray(rdiags, dtype=np.float64)
+    prunes = np.asarray(prunes, dtype=np.float64)
+    maxdists = np.asarray(maxdists, dtype=np.float64)
+    G, m, _ = muts.shape
+    dists = np.full(G, np.inf)
+    sols = np.zeros((G, m))
+    total_nodes = 0.0
+    cp0 = np.zeros(m)
+    for g in range(G):
+        ev = FastEvaluator(nr_solutions=1)
+        maxdist = float(maxdists[g])
+        gh2 = math.exp(float(np.mean(np.log(rdiags[g]))) -
+                       2.0 * (m / 2.0 * math.log(math.pi) -
+                              math.lgamma(m / 2.0 + 1.0)) / m)
+        trial = maxdist
+        if maxdist > 4.0 * gh2:
+            trial = min(gh2 / 16.0, maxdist)
+        while True:
+            enum = _make_enumerator(jnp.float32)
+            _, nodes = enum.enumerate(muts[g], rdiags[g], prunes[g], cp0,
+                                      trial, True, ev)
+            total_nodes += float(np.asarray(nodes).sum())
+            found = (not ev.empty()) and ev.begin()[0] <= trial * 1.0000001
+            if found or trial >= maxdist:
+                break
+            trial = min(trial * 2.5, maxdist)
+        if not ev.empty():
+            d0, x = ev.begin()
+            dists[g] = d0
+            sols[g, :len(x)] = x
+    return dists, sols, total_nodes
+
+
 def register_tpu_backend() -> None:
     from .api import set_external_enumerator
     set_external_enumerator(tpu_external_enumerator)

@@ -289,6 +289,181 @@ def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
 
 
 # ---------------------------------------------------------------------------
+# bkz_core: native BKZ window orchestration (tours, preprocessing recursion,
+# rerandomization, insertion) over the limb basis + f64 GSO state, with a
+# Python callback for device-sized enumerations
+# ---------------------------------------------------------------------------
+_BKZ_LIB = None
+_BKZ_TRIED = False
+
+# int cb(G, m, mut, rdiag, prune, maxdist, sol_out, dist_out, nodes_out)
+ENUM_DEV_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double))
+
+
+class BkzArgs(ctypes.Structure):
+    """Mirror of bkz_core.c's bkz_args (field order/types must match)."""
+
+    _fields_ = [
+        ("d", ctypes.c_int), ("n", ctypes.c_int), ("L", ctypes.c_int),
+        ("lll_delta", ctypes.c_double), ("lll_eta", ctypes.c_double),
+        ("radius_delta", ctypes.c_double),
+        ("block_size", ctypes.c_int), ("flags", ctypes.c_int),
+        ("gh_factor", ctypes.c_double), ("min_succ", ctypes.c_double),
+        ("density", ctypes.c_int),
+        ("n_strat", ctypes.c_int),
+        ("pre_off", ctypes.c_void_p), ("pre_len", ctypes.c_void_p),
+        ("pre_data", ctypes.c_void_p),
+        ("ps_off", ctypes.c_void_p), ("ps_cnt", ctypes.c_void_p),
+        ("ps_gh", ctypes.c_void_p), ("ps_exp", ctypes.c_void_p),
+        ("ps_coef_off", ctypes.c_void_p), ("ps_coef_len", ctypes.c_void_p),
+        ("ps_coefs", ctypes.c_void_p),
+        ("hybrid_budget", ctypes.c_longlong),
+        ("min_device_dim", ctypes.c_int),
+        ("trial_batch_max", ctypes.c_int),
+        ("seed", ctypes.c_ulonglong),
+        ("min_row", ctypes.c_int), ("max_row", ctypes.c_int),
+        ("nodes_out", ctypes.c_double),
+        ("n_swaps_out", ctypes.c_long),
+        ("clean_out", ctypes.c_int),
+    ]
+
+
+def _build_bkz() -> Optional[ctypes.CDLL]:
+    so_path = _compile("bkz_core.c", "bkz_core.so")
+    if so_path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.bkz_tour_native.restype = ctypes.c_int
+    lib.bkz_tour_native.argtypes = [ctypes.POINTER(BkzArgs),
+                                    np.ctypeslib.ndpointer(
+                                        np.uint64, flags="C_CONTIGUOUS"),
+                                    ENUM_DEV_CB]
+    return lib
+
+
+def get_bkz_lib() -> Optional[ctypes.CDLL]:
+    global _BKZ_LIB, _BKZ_TRIED
+    if not _BKZ_TRIED:
+        _BKZ_TRIED = True
+        _BKZ_LIB = _build_bkz()
+    return _BKZ_LIB
+
+
+def pack_strategies(strategies) -> dict:
+    """Flatten a list of Strategy objects (indexed by block size) into the
+    packed arrays bkz_core.c reads (bkz_param.h:34-66 contract)."""
+    n = len(strategies)
+    pre_off = np.zeros(n, dtype=np.int32)
+    pre_len = np.zeros(n, dtype=np.int32)
+    ps_off = np.zeros(n, dtype=np.int32)
+    ps_cnt = np.zeros(n, dtype=np.int32)
+    pre_data: list = []
+    ps_gh: list = []
+    ps_exp: list = []
+    ps_coef_off: list = []
+    ps_coef_len: list = []
+    ps_coefs: list = []
+    for bs, strat in enumerate(strategies):
+        pre_off[bs] = len(pre_data)
+        chain = getattr(strat, "preprocessing_block_sizes", []) or []
+        pre_data.extend(int(x) for x in chain)
+        pre_len[bs] = len(chain)
+        ps_off[bs] = len(ps_gh)
+        sets = getattr(strat, "pruning_parameters", []) or []
+        for p in sets:
+            ps_gh.append(float(p.gh_factor))
+            ps_exp.append(float(p.expectation))
+            ps_coef_off.append(len(ps_coefs))
+            ps_coef_len.append(len(p.coefficients))
+            ps_coefs.extend(float(c) for c in p.coefficients)
+        ps_cnt[bs] = len(sets)
+    return {
+        "n_strat": n,
+        "pre_off": pre_off, "pre_len": pre_len,
+        "pre_data": np.asarray(pre_data, dtype=np.int32),
+        "ps_off": ps_off, "ps_cnt": ps_cnt,
+        "ps_gh": np.asarray(ps_gh, dtype=np.float64),
+        "ps_exp": np.asarray(ps_exp, dtype=np.float64),
+        "ps_coef_off": np.asarray(ps_coef_off, dtype=np.int64),
+        "ps_coef_len": np.asarray(ps_coef_len, dtype=np.int32),
+        "ps_coefs": np.asarray(ps_coefs, dtype=np.float64),
+    }
+
+
+def native_bkz_tour(b, pack: dict, *, lll_delta: float, lll_eta: float,
+                    radius_delta: float, block_size: int, flags: int,
+                    gh_factor: float, min_succ: float, density: int,
+                    hybrid_budget: int, min_device_dim: int,
+                    trial_batch_max: int, seed: int, min_row: int,
+                    max_row: int, enum_cb):
+    """Run one native BKZ tour over rows [min_row, max_row) of IntMat b.
+
+    Returns (status, nodes, n_swaps, clean, basis_changed) or None when
+    the native core is unavailable/inapplicable. Nonzero status means the
+    tour did not complete natively: the basis holds valid partial
+    progress (every native op is unimodular) and the caller re-runs the
+    tour through the Python engines from that state.
+    """
+    lib = get_bkz_lib()
+    if lib is None:
+        return None
+    d, n = b.nrows, b.ncols
+    if d < 2 or d > 500 or n > 4000:
+        return None
+    try:
+        arr = b.a.astype(np.int64)
+    except (OverflowError, TypeError):
+        arr = None
+    if arr is not None:
+        maxbits = int(np.abs(arr).max()).bit_length() if arr.size else 0
+    else:
+        maxbits = b.get_max_exp()
+    L = max(2, (maxbits + 130) // 64 + 2)
+    if L > 480:
+        return None
+    blimbs = _ints_to_limbs(arr if arr is not None else b.a, L)
+    limbs0 = blimbs.copy()
+
+    a = BkzArgs()
+    a.d, a.n, a.L = d, n, L
+    a.lll_delta, a.lll_eta = float(lll_delta), float(lll_eta)
+    a.radius_delta = float(radius_delta)
+    a.block_size, a.flags = int(block_size), int(flags)
+    a.gh_factor, a.min_succ = float(gh_factor), float(min_succ)
+    a.density = int(density)
+    a.n_strat = int(pack["n_strat"])
+    # keep array refs alive for the duration of the call
+    refs = [pack[k] for k in ("pre_off", "pre_len", "pre_data", "ps_off",
+                              "ps_cnt", "ps_gh", "ps_exp", "ps_coef_off",
+                              "ps_coef_len", "ps_coefs")]
+    (a.pre_off, a.pre_len, a.pre_data, a.ps_off, a.ps_cnt, a.ps_gh, a.ps_exp,
+     a.ps_coef_off, a.ps_coef_len, a.ps_coefs) = \
+        [r.ctypes.data if r.size else None for r in refs]
+    a.hybrid_budget = int(hybrid_budget)
+    a.min_device_dim = int(min_device_dim)
+    a.trial_batch_max = int(trial_batch_max)
+    a.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+    a.min_row, a.max_row = int(min_row), int(max_row)
+
+    cb = enum_cb if enum_cb is not None else ENUM_DEV_CB(0)
+    status = lib.bkz_tour_native(ctypes.byref(a), blimbs, cb)
+    del refs
+    changed = not bool(np.array_equal(blimbs, limbs0))
+    if changed:
+        _copy_back(b, blimbs)
+    return (int(status), float(a.nodes_out), int(a.n_swaps_out),
+            int(a.clean_out), changed)
+
+
+# ---------------------------------------------------------------------------
 # pruner_core: compiled cost/probability kernels for the pruning optimizer
 # ---------------------------------------------------------------------------
 _PRUNER_LIB = None

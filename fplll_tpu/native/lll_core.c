@@ -138,6 +138,7 @@ typedef struct {
   uint64_t *tmp;    /* L limbs scratch */
   double delta, eta;
   long n_swaps;
+  long version;     /* bumped on every exact basis write (BKZ memos) */
 } lll_state;
 
 static inline uint64_t *row(lll_state *S, int i) {
@@ -221,6 +222,7 @@ static int row_addmul_we(lll_state *S, int kappa, int j, double mu_rnd,
     while (e2 < 0 && (lx & 1) == 0) { lx >>= 1; e2++; }
     if (e2 < 0) { lx = (int64_t)llround(ldexp(v, (int)expo)); e2 = 0; }
   }
+  S->version++;
   for (int c = 0; c < S->n; c++)
     if (bn_addmul_si_2exp(row(S, kappa) + (size_t)c * S->L,
                           row(S, j) + (size_t)c * S->L, lx, e2, S->L, S->tmp))
@@ -234,7 +236,7 @@ static int row_addmul_we(lll_state *S, int kappa, int j, double mu_rnd,
   return 0;
 }
 
-static int babai(lll_state *S, int kappa, int *status) {
+static int babai(lll_state *S, int kappa, int min_col, int *status) {
   long max_expo = 0;
   int have_max = 0;
   double babai_mu[MAXD];
@@ -242,7 +244,7 @@ static int babai(lll_state *S, int kappa, int *status) {
   for (int iter = 0;; iter++) {
     if (!update_gso_row(S, kappa, kappa - 1)) { *status = RED_GSO_FAILURE; return 0; }
     int loop_needed = 0;
-    for (int j = kappa - 1; j >= 0; j--) {
+    for (int j = kappa - 1; j >= min_col; j--) {
       double v = S->mu[(size_t)kappa * S->d + j];
       long e = S->row_expo[kappa] - S->row_expo[j];
       double t = fabs(ldexp(v, e < 1024 ? (int)e : 1024));
@@ -251,7 +253,7 @@ static int babai(lll_state *S, int kappa, int *status) {
     if (!loop_needed) break;
     if (iter >= 2) {
       long nm = -100000;
-      for (int j = 0; j < kappa; j++) {
+      for (int j = min_col; j < kappa; j++) {
         double v = S->mu[(size_t)kappa * S->d + j];
         if (v == 0.0) continue;
         int fe; frexp(v, &fe);
@@ -265,11 +267,11 @@ static int babai(lll_state *S, int kappa, int *status) {
       max_expo = nm;
       have_max = 1;
     }
-    for (int j = 0; j < kappa; j++) {
+    for (int j = min_col; j < kappa; j++) {
       babai_mu[j] = S->mu[(size_t)kappa * S->d + j];
       babai_expo[j] = S->row_expo[kappa] - S->row_expo[j];
     }
-    for (int j = kappa - 1; j >= 0; j--) {
+    for (int j = kappa - 1; j >= min_col; j--) {
       double v = babai_mu[j];
       long e = babai_expo[j];
       double mu_rnd;
@@ -278,7 +280,7 @@ static int babai(lll_state *S, int kappa, int *status) {
       if (fe + e >= 53) mu_rnd = v;
       else mu_rnd = ldexp(rint(ldexp(v, (int)e)), (int)-e);
       if (mu_rnd == 0.0) continue;
-      for (int k = 0; k < j; k++)
+      for (int k = min_col; k < j; k++)
         babai_mu[k] -= mu_rnd * S->mu[(size_t)j * S->d + k];
       if (row_addmul_we(S, kappa, j, mu_rnd, e)) { *status = OVERFLOW_FAILURE; return 0; }
     }
@@ -373,7 +375,7 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
 
   if (size_red_only) {
     for (int k = 0; k < kappa_end; k++) {
-      if (k > 0 && !babai(&S, k, &status)) goto done;
+      if (k > 0 && !babai(&S, k, 0, &status)) goto done;
       if (!update_gso_row(&S, k, k)) { status = RED_GSO_FAILURE; goto done; }
     }
     goto done;
@@ -385,7 +387,7 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
     long iter = 0, max_iter = (long)d * d * 4000L + 100000L;
     while (kappa < kappa_end && iter++ < max_iter) {
       if (kappa > kappa_max) kappa_max = kappa;
-      if (!babai(&S, kappa, &status)) goto done;
+      if (!babai(&S, kappa, 0, &status)) goto done;
       if (!update_gso_row(&S, kappa, kappa)) { status = RED_GSO_FAILURE; goto done; }
       lovasz[0] = get_gram(&S, kappa, kappa);
       for (int i = 1; i <= kappa; i++)
