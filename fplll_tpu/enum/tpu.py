@@ -404,6 +404,17 @@ class TPUEnumerator:
         subsols is a dict, per-level best partials found during expansion
         are recorded into it as level -> (dist, x-tail)."""
         target = self.target_root_factor * self.batch
+        if subsols is None:
+            # native expansion (enum_core.c): same layout and node counts,
+            # ~50x faster than the per-level numpy loop — this was the
+            # dominant per-window cost of device-escalated BKZ windows
+            from ..native import native_gen_roots
+            out = native_gen_roots(mut, rdiag, prune, cp0, A, is_svp, dual,
+                                   self.max_device_levels, target)
+            if out is not None:
+                xs, als, pd, m, nodes = out
+                self.nodes[:d] += nodes.astype(np.int64)[:d]
+                return xs, als, pd, m
         # memory cap on the host frontier: once the device can take over
         # (m_cand <= max_device_levels) never grow past hard_cap roots;
         # above the device ceiling (d > max_device_levels + expanded
@@ -544,10 +555,12 @@ class TPUEnumerator:
             ch, cl = split_dd(cp0_pad)
             pdh, pdl = split_dd(rpd_pad)
             Ah, Al = split_dd(np.float64(A * self.bound_slack))
+            rx_dev = jnp.asarray(rx_pad, jnp.float32)
+            ra_dev = rx_dev if ra_pad is rx_pad else \
+                jnp.asarray(ra_pad, jnp.float32)
             state = _enum_run_dd(
                 mh, ml, rh, rl, ph, pl, fh, fl, ch, cl,
-                jnp.asarray(rx_pad, jnp.float32),
-                jnp.asarray(ra_pad, jnp.float32),
+                rx_dev, ra_dev,
                 pdh, pdl, Ah, Al,
                 m=m, is_svp=bool(is_svp), count_mode=bool(count_mode),
                 max_steps=1 << 30, batch=self.batch, dual=bool(dual),
@@ -560,12 +573,14 @@ class TPUEnumerator:
                 is_svp=bool(is_svp), count_mode=bool(count_mode),
                 max_steps=1 << 30, batch=self.batch)
         else:
+            rx_dev = jnp.asarray(rx_pad, dt)
+            ra_dev = rx_dev if ra_pad is rx_pad else jnp.asarray(ra_pad, dt)
             state = _enum_run(
                 jnp.asarray(mut_pad, dt), jnp.asarray(rdiag_pad, dt),
                 jnp.asarray(prune_pad, dt),
                 jnp.asarray(mut_fix_pad, dt),
-                jnp.asarray(cp0_pad, dt), jnp.asarray(rx_pad, dt),
-                jnp.asarray(ra_pad, dt),
+                jnp.asarray(cp0_pad, dt), rx_dev,
+                ra_dev,
                 jnp.asarray(rpd_pad, dt),
                 jnp.asarray(A * self.bound_slack, dtype=dt),
                 m=m, is_svp=bool(is_svp),

@@ -78,6 +78,18 @@ def _build() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),  # nodes
         ctypes.POINTER(EnumResult),
     ]
+    try:
+        dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.enum_gen_roots.restype = ctypes.c_int
+        lib.enum_gen_roots.argtypes = [
+            ctypes.c_int, dptr, dptr, ctypes.c_void_p, dptr,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            dptr, ctypes.c_void_p, dptr, dptr,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+        ]
+    except AttributeError:
+        pass
     return lib
 
 
@@ -121,6 +133,56 @@ def native_enumerate(mut: np.ndarray, rdiag: np.ndarray,
         return None
     return (res.maxdist, res.best_dist,
             best_x if res.found else None, res.sol_count, nodes, res.visited)
+
+
+# Scratch buffers for the native root expansion (calls are serialized by
+# the GIL; np.empty pages are only touched for rows actually produced).
+_ROOTS_SCRATCH: dict = {}
+
+
+def native_gen_roots(mut: np.ndarray, rdiag: np.ndarray,
+                     pruning: Optional[np.ndarray], cp0: np.ndarray,
+                     maxdist: float, is_svp: bool, dual: bool,
+                     max_device_levels: int, target: int,
+                     cap: int = 1 << 19, nfix_max: int = 24):
+    """Native layered top-tree expansion (enum_core.c:enum_gen_roots).
+    Returns (roots_x, roots_a, roots_pd, m_real, nodes_per_level) or None
+    when unavailable/over capacity (callers use the host expansion)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "enum_gen_roots"):
+        return None
+    d = len(rdiag)
+    key = (cap, nfix_max, bool(dual))
+    bufs = _ROOTS_SCRATCH.get(key)
+    if bufs is None:
+        bufs = (np.empty((cap, nfix_max)),
+                np.empty((cap, nfix_max)) if dual else None,
+                np.empty(cap))
+        _ROOTS_SCRATCH[key] = bufs
+    out_x, out_a, out_pd = bufs
+    nodes = np.zeros(d, dtype=np.float64)
+    mut = np.ascontiguousarray(mut, dtype=np.float64)
+    rdiag = np.ascontiguousarray(rdiag, dtype=np.float64)
+    cp0 = np.ascontiguousarray(cp0, dtype=np.float64)
+    pr = None if pruning is None else \
+        np.ascontiguousarray(pruning, dtype=np.float64)
+    m_real = ctypes.c_int(0)
+    count = ctypes.c_long(0)
+    rc = lib.enum_gen_roots(
+        d, mut, rdiag,
+        pr.ctypes.data_as(ctypes.c_void_p) if pr is not None else None,
+        cp0, float(maxdist), int(is_svp), int(dual),
+        int(max_device_levels), int(target), int(cap), int(nfix_max),
+        out_x,
+        out_a.ctypes.data_as(ctypes.c_void_p) if out_a is not None else None,
+        out_pd, nodes, ctypes.byref(m_real), ctypes.byref(count))
+    if rc != 0:
+        return None
+    R, m = int(count.value), int(m_real.value)
+    nfix = d - m
+    xs = out_x[:R, :nfix].copy()
+    als = out_a[:R, :nfix].copy() if dual else xs
+    return xs, als, out_pd[:R].copy(), m, nodes
 
 
 # ---------------------------------------------------------------------------

@@ -162,3 +162,150 @@ int enum_run(int d,
   res->maxdist = maxdist;
   return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* Layered top-of-tree expansion producing subtree roots for the      */
+/* batched device kernel (native version of TPUEnumerator._gen_roots, */
+/* enum/tpu.py; the role of enumlib's swirlys queue construction,     */
+/* enum-parallel/enumeration.h:311-380). Row layout matches the       */
+/* Python expansion: out_x[r*nfix + j] holds the coordinate of level  */
+/* m_real + j (ascending). Exactly like the host expansion, dead      */
+/* chains (pd > A) are carried through the levels (their intervals    */
+/* collapse to <= 1 child) and filtered only at copy-out, so node     */
+/* counters agree with the Python path to the last node.              */
+/*                                                                    */
+/* Returns 0 on success, 1 when the expansion cannot fit the caller's */
+/* capacity / nfix_max while the device ceiling is still exceeded     */
+/* (caller falls back to the host expansion), -1 on bad input.        */
+int enum_gen_roots(int d,
+                   const double *mut,   /* d*d, mut[i*d+j]=mu(j,i) */
+                   const double *rdiag, /* d */
+                   const double *prune, /* d or NULL */
+                   const double *cp0,   /* d center partsums (zeros: SVP) */
+                   double A, int is_svp, int dual, int max_device_levels,
+                   long target, long cap, int nfix_max,
+                   double *out_x,  /* cap*nfix_max (nfix cols used) */
+                   double *out_a,  /* cap*nfix_max or NULL (primal) */
+                   double *out_pd, /* cap */
+                   double *nodes_per_level, /* d, accumulated */
+                   int *m_real_out, long *count_out) {
+  if (d < 2 || cap < 1) return -1;
+  size_t stride = (size_t)nfix_max;
+  double *bx = malloc((size_t)cap * stride * 8 * 2);
+  double *ba = dual ? malloc((size_t)cap * stride * 8 * 2) : NULL;
+  double *bpd = malloc((size_t)cap * 8 * 2);
+  unsigned char *bzp = malloc((size_t)cap * 2);
+  if (!bx || !bpd || !bzp || (dual && !ba)) {
+    free(bx); free(ba); free(bpd); free(bzp);
+    return -1;
+  }
+  double *x_in = bx, *x_out = bx + (size_t)cap * stride;
+  double *a_in = ba, *a_out = ba ? ba + (size_t)cap * stride : NULL;
+  double *pd_in = bpd, *pd_out = bpd + cap;
+  unsigned char *zp_in = bzp, *zp_out = bzp + cap;
+  long R = 1;
+  pd_in[0] = 0.0;
+  zp_in[0] = (unsigned char)(is_svp != 0);
+  int lvl = d - 1, nfix = 0, rc = 0;
+  while (lvl >= 1) {
+    int m_cand = lvl + 1;
+    if (m_cand <= max_device_levels &&
+        (R >= target || m_cand <= 2 || R >= cap))
+      break;
+    if (d - lvl > nfix_max) {
+      /* out of fixed-coordinate room: stop if the device can take the
+         tree from here, else hand the whole job back to the host */
+      if (m_cand <= max_device_levels) break;
+      rc = 1;
+      goto out;
+    }
+    {
+      double bnd = (prune ? prune[lvl] : 1.0) * A;
+      long Rn = 0;
+      for (long r0 = 0; r0 < R; r0++) {
+        const double *acc = dual ? a_in + (size_t)r0 * stride
+                                 : x_in + (size_t)r0 * stride;
+        double c = cp0[lvl];
+        for (int j = 0; j < nfix; j++) c -= acc[j] * mut[(size_t)lvl * d + (lvl + 1 + j)];
+        double pd0 = pd_in[r0];
+        double room = bnd - pd0;
+        double w = room > 0.0 ? sqrt(room / rdiag[lvl]) : 0.0;
+        double lo = ceil(c - w), hi = floor(c + w);
+        if (zp_in[r0] && lo < 0.0) lo = 0.0;
+        long cnt = hi >= lo ? (long)(hi - lo) + 1 : 0;
+        nodes_per_level[lvl] += (double)cnt;
+        for (long t = 0; t < cnt; t++) {
+          double xv = lo + (double)t;
+          double al = xv - c;
+          double pdc = pd0 + al * al * rdiag[lvl];
+          if (Rn >= cap) {
+            /* overfull: settle for the roots we have if the device can
+               start at this level, else fall back */
+            if (m_cand <= max_device_levels && Rn >= target / 4) {
+              R = Rn;
+              goto stop_here;
+            }
+            rc = 1;
+            goto out;
+          }
+          double *xd = x_out + (size_t)Rn * stride;
+          xd[0] = xv;
+          memcpy(xd + 1, x_in + (size_t)r0 * stride, (size_t)nfix * 8);
+          if (dual) {
+            double *ad = a_out + (size_t)Rn * stride;
+            ad[0] = al;
+            memcpy(ad + 1, a_in + (size_t)r0 * stride, (size_t)nfix * 8);
+          }
+          pd_out[Rn] = pdc;
+          zp_out[Rn] = zp_in[r0] && xv == 0.0;
+          Rn++;
+        }
+      }
+      R = Rn;
+    }
+    {
+      double *t;
+      unsigned char *tz;
+      t = x_in; x_in = x_out; x_out = t;
+      if (dual) { t = a_in; a_in = a_out; a_out = t; }
+      t = pd_in; pd_in = pd_out; pd_out = t;
+      tz = zp_in; zp_in = zp_out; zp_out = tz;
+    }
+    nfix++;
+    lvl--;
+    if (R == 0) break; /* bound prunes everything above the device tree */
+    continue;
+  stop_here:
+    /* children of this level live in the out buffers */
+    {
+      double *t;
+      t = x_in; x_in = x_out; x_out = t;
+      if (dual) { t = a_in; a_in = a_out; a_out = t; }
+      t = pd_in; pd_in = pd_out; pd_out = t;
+    }
+    nfix++;
+    lvl--;
+    break;
+  }
+  *m_real_out = lvl + 1;
+  {
+    long keep = 0;
+    for (long r0 = 0; r0 < R; r0++) {
+      if (pd_in[r0] > A) continue; /* final filter (enum/tpu.py keep mask) */
+      memcpy(out_x + (size_t)keep * nfix_max, x_in + (size_t)r0 * stride,
+             (size_t)nfix * 8);
+      if (out_a && dual)
+        memcpy(out_a + (size_t)keep * nfix_max, a_in + (size_t)r0 * stride,
+               (size_t)nfix * 8);
+      out_pd[keep] = pd_in[r0];
+      keep++;
+    }
+    *count_out = keep;
+  }
+out:
+  free(bx);
+  free(ba);
+  free(bpd);
+  free(bzp);
+  return rc;
+}
