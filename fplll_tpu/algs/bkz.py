@@ -390,12 +390,14 @@ class BKZReduction:
         if cb is None:
             cb = self._make_native_enum_cb()
             self._native_enum_cb = cb
-        # crossover + device-eligibility policy shared with the facade
-        # (enum/tpu.py): below _MIN_TPU_DIM the sequential core always
-        # wins; above it, escalate past the measured node budget
+        # crossover + device-eligibility policy: below _MIN_TPU_DIM the
+        # sequential core always wins; above it, the C loop routes windows
+        # whose GH tree estimate exceeds this budget straight to the
+        # device. The TPU default prices the measured per-launch overhead
+        # (~0.3-0.5s over the attachment ~ 15-25M sequential-core nodes).
         from ..enum.tpu import _MIN_TPU_DIM
         from ..jaxsetup import jax
-        default_budget = 2_000_000 if jax.default_backend() == "tpu" \
+        default_budget = 15_000_000 if jax.default_backend() == "tpu" \
             else 64_000_000
         budget = int(os.environ.get("FPLLL_TPU_HYBRID_NODES",
                                     str(default_budget)))

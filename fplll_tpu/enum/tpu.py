@@ -845,6 +845,11 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
     cp0 = np.zeros(m)
     for g in range(G):
         ev = FastEvaluator(nr_solutions=1)
+        enum = _make_enumerator(jnp.float32)
+        # measured on pruned block-50/60 windows: deeper splitting (more,
+        # smaller subtree roots) shortens the low-utilization tail where
+        # a handful of giant subtrees keep most lanes idle
+        enum.target_root_factor = max(enum.target_root_factor, 128)
         maxdist = float(maxdists[g])
         gh2 = math.exp(float(np.mean(np.log(rdiags[g]))) -
                        2.0 * (m / 2.0 * math.log(math.pi) -
@@ -853,7 +858,6 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
         if maxdist > 4.0 * gh2:
             trial = min(gh2 / 16.0, maxdist)
         while True:
-            enum = _make_enumerator(jnp.float32)
             _, nodes = enum.enumerate(muts[g], rdiags[g], prunes[g], cp0,
                                       trial, True, ev)
             total_nodes += float(np.asarray(nodes).sum())

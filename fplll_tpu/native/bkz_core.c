@@ -462,9 +462,27 @@ static void select_pruning(bkz_ctx *B, int bs, double ratio,
   *expect = a->ps_exp[best];
 }
 
-/* One window enumeration: sequential C core within the hybrid budget,
-   escalation to the device callback past it (the measured-crossover
-   policy of enum/tpu.py:713-746 moved next to the data). */
+/* Gaussian-heuristic estimate of the bound-passing node count of a
+   pruned enumeration tree (the level-volume sum the pruner's cost model
+   integrates, pruner_cost.cpp:8-67, collapsed to the GH ball volumes).
+   Used to price windows against the measured device-launch overhead
+   BEFORE enumerating, instead of burning a budgeted C pass first. */
+static double enum_tree_estimate(int bs, const double *rdiag,
+                                 const double *prune, double A) {
+  double logs = 0.0, tot = 0.0;
+  for (int k = 1; k <= bs; k++) {
+    logs += 0.5 * log(rdiag[k - 1]);
+    double pk = prune ? prune[k - 1] : 1.0;
+    double lv = (k / 2.0) * log(M_PI * pk * A) - lgamma(k / 2.0 + 1.0) - logs;
+    tot += 0.5 * exp(lv);
+  }
+  return tot;
+}
+
+/* One window enumeration: sequential C core for trees under the device
+   crossover, direct device launch for trees the GH estimate prices
+   above it (the measured-crossover policy of enum/tpu.py:713-746 moved
+   next to the data, minus the wasted budget pass). */
 static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
                          const double *rdiag, const double *prune,
                          double maxdist, double *sol, double *dist_out) {
@@ -474,10 +492,30 @@ static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
   enum_result er;
   memset(&er, 0, sizeof(er));
   er.maxdist = maxdist;
-  long long budget =
-      (B->cb && bs >= B->a->min_device_dim && B->a->hybrid_budget > 0)
-          ? B->a->hybrid_budget
-          : 0;
+  int dev_ok = B->cb && bs >= B->a->min_device_dim &&
+               B->a->hybrid_budget > 0;
+  if (dev_ok &&
+      enum_tree_estimate(bs, rdiag, prune, maxdist) >
+          (double)B->a->hybrid_budget) {
+    /* predictably past the crossover: go straight to the device */
+    double A = maxdist, ddist = INFINITY, dnodes = 0.0;
+    for (int i = 0; i < bs; i++) B->prune_s[i] = prune ? prune[i] : 1.0;
+    if (B->cb(1, bs, mut, rdiag, B->prune_s, &A, B->sol_s, &ddist,
+              &dnodes)) {
+      B->status = -2;
+      return -1;
+    }
+    B->nodes += dnodes;
+    if (isfinite(ddist)) {
+      memcpy(sol, B->sol_s, (size_t)bs * 8);
+      *dist_out = ddist;
+      return 1;
+    }
+    return 0;
+  }
+  /* under the crossover: the C core with a generous safety budget (the
+     estimate can be off; a genuinely huge tree still escalates) */
+  long long budget = dev_ok ? 16 * B->a->hybrid_budget : 0;
   er.nodes_budget = budget;
   if (enum_run(bs, mut, rdiag, prune, NULL, 1, 0, 0, bx, nodes_lvl, &er)) {
     B->status = RED_LLL_FAILURE;
