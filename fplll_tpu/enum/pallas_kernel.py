@@ -129,24 +129,54 @@ def _cround(x):
 # state array order (all aliased in/out):
 #   x_arr (m,B)  pd_arr (m,B)  cs (m,B)  bdev (m,B)
 #   k (1,B)i32  act (1,B)i32  xk ck pdk rk prk bdist (1,B)f32
+# the in-kernel-root-queue variant appends: ridx bri (1,B)i32
 _N_STATE = 12
 
 
 def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
-                       count_mode: bool, wide_scalars: bool = False):
+                       count_mode: bool, wide_scalars: bool = False,
+                       rq_nfixp: int = -1, rq_R: int = 0):
     """wide_scalars: A/steps outputs are (1, B) VMEM rows (broadcast per
     lane tile) instead of (1, 1) SMEM scalars — the lane-tiled grid path
     needs this because TPU lowering rejects (1, 1) blocks over a
-    (grid, 1) array."""
+    (grid, 1) array.
+
+    rq_nfixp >= 0 enables the IN-KERNEL ROOT QUEUE: the packed root
+    array lives in VMEM and one root is popped per step into the first
+    dead lane (the device-resident swirlys queue of enum/tpu.py moved
+    inside the chunk loop). Without it, lanes dying mid-chunk idle until
+    the next XLA-level refill — on pruned BKZ windows that left ~90% of
+    lanes dead for most of the walk. Roots are sorted by pd ascending,
+    so the first bound-dead root drains the whole remaining queue in
+    O(1). Extra state rows ridx/bri attribute each lane's current root
+    and the root of its best solution."""
+    rq = rq_nfixp >= 0
+    n_state = _N_STATE + (2 if rq else 0)
+
     def kernel(Mx_ref, A_ref, *refs):
-        ins = refs[:_N_STATE]
+        if rq:
+            cur_ref = refs[0]
+            mr_ref = refs[1]      # topmost real level + 1 (m_real), SMEM
+            MxF_ref = refs[2]
+            cp0C_ref = refs[3]
+            rootsP_ref = refs[4]  # HBM-resident; groups DMA'd on demand
+            roots_vmem_ref = refs[-3]
+            roots_sem_ref = refs[-2]
+            cur_s = refs[-1]      # SMEM cursor (mutable inside pl.when)
+            refs = refs[5:-3]
+            cur_s[0, 0] = cur_ref[0, 0]
+        ins = refs[:n_state]
         (x_o, pd_o, cs_o, bdev_o, k_o, act_o, xk_o, ck_o, pdk_o, rk_o,
-         prk_o, bdist_o) = refs[_N_STATE:2 * _N_STATE]
-        A_o, nodes_o, leaf0_o, sol_o, steps_o = \
-            refs[2 * _N_STATE:]
+         prk_o, bdist_o) = refs[n_state:n_state + _N_STATE]
+        if rq:
+            ridx_o, bri_o = refs[n_state + _N_STATE:2 * n_state]
+        tail = refs[2 * n_state:]
+        A_o, nodes_o, leaf0_o, sol_o, steps_o = tail[:5]
+        if rq:
+            cur_o = tail[5]
         # aliased HBM buffers still get distinct VMEM windows: seed the
         # output windows once per chunk
-        for i_ref, o_ref in zip(ins, refs[_N_STATE:2 * _N_STATE]):
+        for i_ref, o_ref in zip(ins, refs[n_state:2 * n_state]):
             o_ref[:] = i_ref[:]
         nodes_o[:] = jnp.zeros((m, B), _F)
         leaf0_o[:] = jnp.zeros((1, B), _F)
@@ -164,7 +194,10 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
         inf = jnp.float32(np.inf)
 
         def step(carry):
-            i, _, A = carry
+            if rq:
+                i, _, A = carry
+            else:
+                i, _, A = carry
             k = k_o[0, :]
             act = act_o[0, :] != 0
             xk = xk_o[0, :]
@@ -242,6 +275,9 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                 full = jnp.where(row0, xbest[None, :],
                                  jnp.where(row1, xk[None, :], x_o[:]))
                 bdev_o[:] = jnp.where(better[None, :], full, bdev_o[:])
+
+            if rq:  # attribute the improvement to the lane's current root
+                bri_o[0, :] = jnp.where(better, ridx_o[0, :], bri_o[0, :])
 
             # ---- one fused fetch: mu row + rdiag/prune at the target ----
             # rows of Mx: [0:m] = mu^T strictly-above-diagonal (so the cs
@@ -346,15 +382,224 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             rk_o[0, :] = rk_n
             prk_o[0, :] = prk_n
             bdist_o[0, :] = bdist
-            alive = jnp.sum(act_i[None, :], axis=1, dtype=_I)[0] > 0
+
+            if not rq:
+                alive = jnp.sum(act_i[None, :], axis=1, dtype=_I)[0] > 0
+                return (i + jnp.int32(1), alive, A)
+
+            # ---- in-kernel root-queue pop (one root per step) -----------
+            # cursor lives in SMEM scratch so the whole pop — DMA of the
+            # cursor's 128-root group, one-hot extract, lane assignment —
+            # runs only on steps that actually have a dead lane (deaths
+            # are ~0.3/step; an unconditional pop tripled the step cost)
+            nfixp = rq_nfixp
+            rows_pg = ((nfixp + 1 + 7) // 8) * 8  # sublane-aligned group
+            deadv = act_i == 0
+            n_dead = jnp.sum(deadv[None, :].astype(_I), axis=1,
+                             dtype=_I)[0]
+            lanes = jax.lax.broadcasted_iota(_I, (1, B), 1)[0, :]
+            cur_now = cur_s[0, 0]
+            do_pop = (n_dead > jnp.int32(0)) & (cur_now < jnp.int32(rq_R))
+
+            mr1 = mr_ref[0, 0] - jnp.int32(1)   # topmost real level
+
+            @pl.when(do_pop)
+            def _():
+                g = cur_now // jnp.int32(128)
+                l = cur_now - g * jnp.int32(128)
+                copy = pltpu.make_async_copy(
+                    rootsP_ref.at[pl.ds(g * rows_pg, rows_pg), :],
+                    roots_vmem_ref, roots_sem_ref)
+                copy.start()
+                copy.wait()
+                blk = roots_vmem_ref[:]
+                ohl = jnp.where(
+                    jax.lax.broadcasted_iota(_I, (1, 128), 1) == l, one,
+                    zero)
+                rootcol = jax.lax.dot_general(
+                    blk, ohl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F,
+                    precision=jax.lax.Precision.HIGHEST)   # (nfixp+1, 1)
+                rpdc = rootcol[nfixp, 0]
+                live = rpdc <= A
+                mn = jnp.min(jnp.where(deadv[None, :], lanes[None, :],
+                                       jnp.int32(B)), axis=1)[0]
+                sel = deadv & (lanes == mn) & live
+                if nfixp:
+                    csn = cp0C_ref[:] - jax.lax.dot(
+                        MxF_ref[:], rootcol[:nfixp, :],
+                        preferred_element_type=_F,
+                        precision=jax.lax.Precision.HIGHEST)    # (m, 1)
+                else:
+                    csn = cp0C_ref[:]
+                rpd0 = jnp.where(live, rpdc, zero)
+                c0n = csn[m - 1, 0]
+                x0n = jnp.trunc(c0n + jnp.where(c0n >= zero,
+                                                jnp.float32(0.5),
+                                                jnp.float32(-0.5)))
+                if is_svp:
+                    x0n = jnp.where(rpd0 == zero, jnp.maximum(x0n, zero),
+                                    x0n)
+                selr = sel[None, :]
+                cs_o[:] = jnp.where(selr, csn, cs_o[:])
+                k_o[0, :] = jnp.where(sel, jnp.int32(m - 1), k_o[0, :])
+                act_o[0, :] = jnp.where(sel, jnp.int32(1), act_o[0, :])
+                xk_o[0, :] = jnp.where(sel, x0n, xk_o[0, :])
+                ck_o[0, :] = jnp.where(sel, c0n, ck_o[0, :])
+                pdk_o[0, :] = jnp.where(sel, rpd0, pdk_o[0, :])
+                rk_o[0, :] = jnp.where(sel, Mx_ref[m, m - 1], rk_o[0, :])
+                prk_o[0, :] = jnp.where(sel, Mx_ref[m + 1, m - 1],
+                                        prk_o[0, :])
+                ridx_o[0, :] = jnp.where(sel, cur_now, ridx_o[0, :])
+                # sorted ascending pd: a bound-dead root (or the finite
+                # pd sentinel of the padding) drains the rest in O(1)
+                cur_s[0, 0] = jnp.where(live, cur_now + jnp.int32(1),
+                                        jnp.int32(rq_R))
+
+            # ---- top-level sibling donation (queue empty) ---------------
+            # The terminal tail of a pruned search is a handful of giant
+            # subtree walks with every other lane dead (the analogue of
+            # enumlib's work stealing, enum-parallel/enumeration.h:460).
+            # A dead lane adopts the NEXT top-level sibling of the
+            # deepest live lane's current root: the donor's saved pd at
+            # the top real level is set to +inf so its own ascent stops
+            # there, and the adoptee continues the zig-zag from the
+            # donor's saved x — splitting the remaining top siblings off
+            # one subtree at a time without host involvement.
+            n_act = jnp.sum(act_o[0, :][None, :], axis=1, dtype=_I)[0]
+            do_donate = (~do_pop) & (n_dead > jnp.int32(0)) & \
+                (n_act > jnp.int32(0)) & (mr1 >= jnp.int32(1))
+
+            @pl.when(do_donate)
+            def _():
+                rows_m = jax.lax.broadcasted_iota(_I, (m, B), 0)
+                k_row = k_o[0, :]
+                # stealable levels of each lane: strictly above its
+                # current position, at or below the top real level, and
+                # not yet donated away (saved pd still finite)
+                elig = (rows_m > k_row[None, :]) & \
+                    (rows_m <= mr1[None, None]) & \
+                    (pd_o[:] < jnp.float32(1e30))
+                has_steal = jnp.sum(jnp.where(elig, one, zero),
+                                    axis=0) > zero
+                donor_ok = (act_o[0, :] != 0) & has_steal
+                kk = jnp.where(donor_ok, k_row, jnp.int32(m))
+                mnk = jnp.min(kk[None, :], axis=1)[0]
+                dn_sel = donor_ok & (k_row == mnk)
+                dn = jnp.min(jnp.where(dn_sel, lanes[None, :],
+                                       jnp.int32(B)), axis=1)[0]
+                have = dn < jnp.int32(B)
+                dcol = lanes == dn
+                # topmost stealable level of the chosen donor
+                jcand = jnp.max(jnp.where(elig & dcol[None, :], rows_m,
+                                          jnp.int32(-1)), axis=0)  # (B,)
+                jstar = jnp.max(jcand[None, :], axis=1)[0]
+                jrow = rows_m == jstar[None, None]
+                xcol = jnp.sum(jnp.where(dcol[None, :], x_o[:], zero),
+                               axis=1)             # (m,) donor path
+                vj = jnp.sum(jnp.sum(jnp.where(jrow & dcol[None, :],
+                                               x_o[:], zero),
+                                     axis=0)[None, :], axis=1)[0]
+                pdj = jnp.sum(jnp.sum(jnp.where(jrow & dcol[None, :],
+                                                pd_o[:], zero),
+                                      axis=0)[None, :], axis=1)[0]
+                ridx_dn = jnp.sum(jnp.where(dcol, ridx_o[0, :],
+                                            jnp.int32(0))[None, :],
+                                  axis=1, dtype=_I)[0]
+                # adoptee center sums = fresh root sums minus the donor's
+                # path contributions for levels (jstar, mr1]
+                rc = jnp.clip(ridx_dn, jnp.int32(0), jnp.int32(rq_R - 1))
+                g2 = rc // jnp.int32(128)
+                l2 = rc - g2 * jnp.int32(128)
+                copy2 = pltpu.make_async_copy(
+                    rootsP_ref.at[pl.ds(g2 * rows_pg, rows_pg), :],
+                    roots_vmem_ref, roots_sem_ref)
+                copy2.start()
+                copy2.wait()
+                blk2 = roots_vmem_ref[:]
+                ohl2 = jnp.where(
+                    jax.lax.broadcasted_iota(_I, (1, 128), 1) == l2, one,
+                    zero)
+                rootcol2 = jax.lax.dot_general(
+                    blk2, ohl2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F,
+                    precision=jax.lax.Precision.HIGHEST)
+                if nfixp:
+                    csn2 = cp0C_ref[:] - jax.lax.dot(
+                        MxF_ref[:], rootcol2[:nfixp, :],
+                        preferred_element_type=_F,
+                        precision=jax.lax.Precision.HIGHEST)
+                else:
+                    csn2 = cp0C_ref[:]
+                iot_m = jax.lax.broadcasted_iota(_I, (m, 1), 0)
+                xmask = jnp.where((iot_m > jstar) & (iot_m <= mr1),
+                                  xcol[:, None], zero)      # (m, 1)
+                csn_f = csn2 - jax.lax.dot(
+                    Mx_ref[pl.ds(0, m), :], xmask,
+                    preferred_element_type=_F,
+                    precision=jax.lax.Precision.HIGHEST)
+                c2 = jnp.sum(jnp.where(iot_m == jstar, csn_f, zero),
+                             axis=0)[0]
+                # zig-zag successor of the donor's saved x at jstar
+                cr2 = jnp.trunc(c2 + jnp.where(c2 >= zero,
+                                               jnp.float32(0.5),
+                                               jnp.float32(-0.5)))
+                d02 = jnp.where(c2 >= cr2, one, -one)
+                p2 = vj - cr2
+                p2a = -p2 + jnp.where(p2 * d02 <= zero, d02, zero)
+                x2 = cr2 + p2a
+                if is_svp:
+                    x2 = jnp.where(pdj == zero, vj + one, x2)
+                iot_r = jax.lax.broadcasted_iota(_I, (1, m), 1)
+                r2 = jnp.sum(jnp.where(iot_r == jstar,
+                                       Mx_ref[pl.ds(m, 1), :], zero),
+                             axis=1)[0]
+                pr2 = jnp.sum(jnp.where(iot_r == jstar,
+                                        Mx_ref[pl.ds(m + 1, 1), :], zero),
+                              axis=1)[0]
+                mn2 = jnp.min(jnp.where(deadv[None, :], lanes[None, :],
+                                        jnp.int32(B)), axis=1)[0]
+                sel2 = deadv & (lanes == mn2) & have
+                selr2 = sel2[None, :]
+                above = rows_m > jstar[None, None]
+                cs_o[:] = jnp.where(selr2, csn_f, cs_o[:])
+                # the adoptee inherits the donor's upper path (solution
+                # reconstruction) and poisoned pd above jstar (its own
+                # ascent must stop there)
+                x_o[:] = jnp.where(selr2 & above, xcol[:, None], x_o[:])
+                pd_o[:] = jnp.where(selr2 & above,
+                                    jnp.float32(jnp.inf), pd_o[:])
+                k_o[0, :] = jnp.where(sel2, jstar, k_o[0, :])
+                act_o[0, :] = jnp.where(sel2, jnp.int32(1), act_o[0, :])
+                xk_o[0, :] = jnp.where(sel2, x2, xk_o[0, :])
+                ck_o[0, :] = jnp.where(sel2, c2, ck_o[0, :])
+                pdk_o[0, :] = jnp.where(sel2, pdj, pdk_o[0, :])
+                rk_o[0, :] = jnp.where(sel2, r2, rk_o[0, :])
+                prk_o[0, :] = jnp.where(sel2, pr2, prk_o[0, :])
+                ridx_o[0, :] = jnp.where(sel2, ridx_dn, ridx_o[0, :])
+                # cap the donor's own ascent at the donated level
+                pd_o[:] = jnp.where(jrow & (dcol & have)[None, :],
+                                    jnp.float32(jnp.inf), pd_o[:])
+
+            alive = (jnp.sum(act_o[0, :][None, :], axis=1, dtype=_I)[0] >
+                     jnp.int32(0)) | (cur_s[0, 0] < jnp.int32(rq_R))
             return (i + jnp.int32(1), alive, A)
 
-        def cond(carry):
-            i, alive, _ = carry
-            return (i < jnp.int32(chunk)) & alive
+        if rq:
+            def cond(carry):
+                i, alive, _ = carry
+                return (i < jnp.int32(chunk)) & alive
 
-        i_fin, _, A_fin = jax.lax.while_loop(
-            cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
+            i_fin, _, A_fin = jax.lax.while_loop(
+                cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
+            cur_o[0, 0] = cur_s[0, 0]
+        else:
+            def cond(carry):
+                i, alive, _ = carry
+                return (i < jnp.int32(chunk)) & alive
+
+            i_fin, _, A_fin = jax.lax.while_loop(
+                cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
         if wide_scalars:
             A_o[0, :] = jnp.full((B,), A_fin, _F)
             steps_o[0, :] = jnp.full((B,), i_fin, _I)
@@ -363,6 +608,51 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             steps_o[0, 0] = i_fin
 
     return kernel
+
+
+@partial(jax.jit, static_argnames=("m", "B", "chunk", "is_svp",
+                                   "count_mode", "nfixp", "R"))
+def _chunk_call_rq(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs, bdev, k,
+                   act, xk, ck, pdk, rk, prk, bdist, ridx, bri, m: int,
+                   B: int, chunk: int, is_svp: bool, count_mode: bool,
+                   nfixp: int, R: int):
+    """One VMEM-resident chunk with the IN-KERNEL root queue (single
+    tile only; the lane-tiled grid keeps the XLA-level refill)."""
+    n_state = _N_STATE + 2
+    rows_pg = ((nfixp + 1 + 7) // 8) * 8
+    kernel = _make_chunk_kernel(m, B, chunk, is_svp, count_mode,
+                                rq_nfixp=nfixp, rq_R=R)
+    smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    mB = jax.ShapeDtypeStruct((m, B), _F)
+    oBf = jax.ShapeDtypeStruct((1, B), _F)
+    oBi = jax.ShapeDtypeStruct((1, B), _I)
+    return pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        scratch_shapes=[pltpu.VMEM((rows_pg, 128), _F),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SMEM((1, 1), _I)],
+        in_specs=[vmem(), smem((1, 1)), smem((1, 1)), smem((1, 1)),
+                  vmem(), vmem(),
+                  pl.BlockSpec(memory_space=pltpu.ANY)] +
+        [vmem()] * n_state,
+        out_shape=(mB, mB, mB, mB, oBi, oBi, oBf, oBf, oBf, oBf, oBf,
+                   oBf, oBi, oBi,
+                   jax.ShapeDtypeStruct((1, 1), _F),    # A
+                   mB,                                   # nodes
+                   oBf, oBf,                             # leaf0/sol
+                   jax.ShapeDtypeStruct((1, 1), _I),     # steps
+                   jax.ShapeDtypeStruct((1, 1), _I)),    # cursor
+        out_specs=tuple([vmem()] * n_state) + (smem((1, 1)), vmem(),
+                                               vmem(), vmem(),
+                                               smem((1, 1)),
+                                               smem((1, 1))),
+        input_output_aliases={i + 7: i for i in range(n_state)},
+        interpret=_INTERPRET,
+    )(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs, bdev, k, act, xk, ck,
+      pdk, rk, prk, bdist, ridx, bri)
 
 
 @partial(jax.jit, static_argnames=("m", "B", "chunk", "is_svp",
@@ -449,11 +739,16 @@ def _chunk_call(Mx, A, x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk,
                                    "batch", "chunk"))
 def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
                      m: int, is_svp: bool, count_mode: bool, max_steps: int,
-                     batch: int = 4096, chunk: int = _CHUNK):
+                     batch: int = 4096, chunk: int = _CHUNK,
+                     m_real=None):
     """Drop-in replacement for tpu._enum_run (same contract; f32 only):
     outer XLA loop alternates VMEM-resident Pallas chunks with root-queue
     refills of finished lanes.  `mut` follows the driver convention
-    mut = mu^T (extenum contract, enumerate_ext.cpp:67-78)."""
+    mut = mu^T (extenum contract, enumerate_ext.cpp:67-78).  m_real (the
+    first virtual bucket-padding level; dynamic, defaults to m) feeds the
+    in-kernel work-donation of the root-queue variant."""
+    if m_real is None:
+        m_real = m
     B = batch
     R = roots_x.shape[0]
     nfix = roots_x.shape[1]
@@ -495,6 +790,16 @@ def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
             x0 = jnp.where(rpd == 0.0, jnp.maximum(x0, 0.0), x0)
         return cs, x0, c0
 
+    # in-kernel root queue: single-tile configs whose packed roots fit
+    # VMEM next to the lane state pop fresh subtree roots inside the
+    # chunk loop (one per step), instead of idling dead lanes until the
+    # next XLA-level refill
+    # roots stay HBM-resident (the kernel DMAs one 128-root group at a
+    # time), so only the lane state constrains VMEM here
+    rq_rows_pg = ((nfix + 1 + 7) // 8) * 8
+    use_rq = (pallas_tile(m, B) == B) and nfix > 0 and R % 128 == 0 and \
+        os.environ.get("FPLLL_TPU_PALLAS_RQ", "1") != "0"
+
     idx0 = jnp.arange(B)
     rx0 = roots_x_f[jnp.clip(idx0, 0, R - 1)]
     rpd0 = roots_pd_f[jnp.clip(idx0, 0, R - 1)]
@@ -522,6 +827,68 @@ def _enum_run_pallas(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_pd, A0,
         "nodes": jnp.zeros((m,), dtype=jnp.float64),
         "sol_count": jnp.zeros((), dtype=jnp.float64),
     }
+
+    if use_rq:
+        # pd padding must be a LARGE FINITE sentinel: the in-kernel
+        # one-hot selection is an MXU dot, and inf * 0.0 = NaN would
+        # poison the popped pd (NaN fails both the live and the drain
+        # comparison, wedging the cursor forever)
+        pd_fin = jnp.where(jnp.isfinite(roots_pd_f), roots_pd_f,
+                           1e30).astype(_F)
+        rootsP = jnp.concatenate(
+            [roots_x_f, pd_fin[:, None],
+             jnp.zeros((R, rq_rows_pg - (nfix + 1)), _F)], axis=1)
+        rootsP = rootsP.reshape(R // 128, 128, rq_rows_pg)
+        rootsP = rootsP.transpose(0, 2, 1).reshape(
+            (R // 128) * rq_rows_pg, 128)
+        st_rq = dict(st)
+        del st_rq["lane_root"], st_rq["best_root"], st_rq["cursor"]
+        st_rq["ridx"] = jnp.clip(idx0, 0, R - 1).astype(_I).reshape(1, B)
+        st_rq["bri"] = jnp.zeros((1, B), _I)
+        st_rq["curd"] = jnp.full((1, 1), B, _I)
+        mrd = jnp.asarray(m_real, _I).reshape(1, 1)
+
+        def body_rq(s):
+            (x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist, ridx,
+             bri, A, nodes_d, leaf0, sol_d, steps_d, curd) = _chunk_call_rq(
+                Mx, s["A"], s["curd"], mrd, mut_fix_f, cp0_c, rootsP,
+                s["x"],
+                s["pd"], s["cs"], s["bdev"], s["k"], s["act"], s["xk"],
+                s["ck"], s["pdk"], s["rk"], s["prk"], s["bdist"],
+                s["ridx"], s["bri"], m=m, B=B, chunk=chunk, is_svp=is_svp,
+                count_mode=count_mode, nfixp=nfix, R=R)
+            s = dict(s)
+            s.update(x=x, pd=pd, cs=cs, bdev=bdev, k=k, act=act, xk=xk,
+                     ck=ck, pdk=pdk, rk=rk, prk=prk, bdist=bdist,
+                     ridx=ridx, bri=bri, A=A, curd=curd)
+            nsum = jnp.sum(nodes_d, axis=1).astype(jnp.float64)
+            nsum = nsum.at[0].add(jnp.sum(leaf0.astype(jnp.float64)))
+            s["nodes"] = s["nodes"] + nsum
+            s["sol_count"] = s["sol_count"] + jnp.sum(
+                sol_d.astype(jnp.float64))
+            s["steps"] = s["steps"] + steps_d[0, 0].astype(jnp.int64)
+            return s
+
+        def cond_rq(s):
+            return (jnp.any(s["act"] != 0) | (s["curd"][0, 0] < R)) & \
+                (s["steps"] < max_steps)
+
+        out = jax.lax.while_loop(cond_rq, body_rq, st_rq)
+        K = min(B, 128)
+        bd = jnp.where(jnp.isfinite(out["bdist"][0, :]),
+                       out["bdist"][0, :], jnp.inf)
+        negd, idx = jax.lax.top_k(-bd, K)
+        broots = roots_x_f[jnp.clip(out["bri"][0, :], 0, R - 1)]
+        return {
+            "nodes": out["nodes"],
+            "best_dist": -negd,
+            "best_dev": out["bdev"].T[idx],
+            "best_root": broots[idx],
+            "sol_count": out["sol_count"],
+            "steps": out["steps"],
+            "A": out["A"][0, 0],
+            "cursor": out["curd"][0, 0],
+        }
 
     def do_refill(s):
         needv = (s["act"][0, :] == 0)

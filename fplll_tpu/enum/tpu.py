@@ -571,7 +571,8 @@ class TPUEnumerator:
                 mut_pad, rdiag_pad, prune_pad, mut_fix_pad, cp0_pad,
                 rx_pad, rpd_pad, A * self.bound_slack, m=m,
                 is_svp=bool(is_svp), count_mode=bool(count_mode),
-                max_steps=1 << 30, batch=self.batch)
+                max_steps=1 << 30, batch=self.batch,
+                m_real=min(m_real, m))
         else:
             rx_dev = jnp.asarray(rx_pad, dt)
             ra_dev = rx_dev if ra_pad is rx_pad else jnp.asarray(ra_pad, dt)
