@@ -42,7 +42,45 @@ def make_enum_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("enum",))
 
 
-def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
+def _steal_plan(cursor, own_end, n_dead, axis="enum"):
+    """Deterministic sweep-boundary work rebalancing (the ICI analogue of
+    enumlib's work stealing, enum-parallel/enumeration.h:460-505): every
+    shard all_gathers (cursor, own_end, dead-lane count), computes the
+    SAME reassignment plan, and applies its own part — a drained shard
+    with dead lanes claims the second half of the richest shard's
+    remaining root range. Roots must be replicated for this (any shard
+    can walk any root). Returns (new_cursor, new_own_end, stole)."""
+    me = jax.lax.axis_index(axis).astype(jnp.int32)
+    mine = jnp.stack([cursor, own_end,
+                      n_dead.astype(jnp.int32)])
+    allv = jax.lax.all_gather(mine, axis)              # (n_dev, 3)
+    curs, ends, ndead = allv[:, 0], allv[:, 1], allv[:, 2]
+    rem = jnp.maximum(ends - curs, 0)
+    thief = (rem == 0) & (ndead > 0)
+    n_thieves = jnp.sum(thief.astype(jnp.int32))
+    # rank thieves by shard index; victims by remaining queue, richest
+    # first (top_k tie-break by index is deterministic, so every shard
+    # derives the identical pairing)
+    t_rank = jnp.cumsum(thief.astype(jnp.int32)) - 1
+    rem_sorted, vidx = jax.lax.top_k(rem, rem.shape[0])
+    my_rank = t_rank[me]
+    my_victim = vidx[jnp.clip(my_rank, 0, rem.shape[0] - 1)]
+    can_steal = thief[me] & (my_rank >= 0) & \
+        (rem_sorted[jnp.clip(my_rank, 0, rem.shape[0] - 1)] >= 64)
+    split_of = curs + (rem - rem // 2)                 # per victim index
+    new_cursor = jnp.where(can_steal, split_of[my_victim], cursor)
+    new_end = jnp.where(can_steal, ends[my_victim], own_end)
+    # am I someone's victim? my position in the richest-first order
+    my_vpos = jnp.sum(jnp.where(vidx == me,
+                                jnp.arange(rem.shape[0], dtype=jnp.int32),
+                                0))
+    robbed = (my_vpos < n_thieves) & (rem[me] >= 64)
+    new_end = jnp.where(robbed, split_of[me], new_end)
+    return new_cursor, new_end, can_steal
+
+
+def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd,
+              A0, own_lens,
               m: int, is_svp: bool, count_mode: bool, sync_steps: int,
               max_rounds: int, batch: int, dual: bool = False,
               findsubsols: bool = False):
@@ -50,13 +88,18 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
     lanes for sync_steps, then the shrinking radius is pmin-exchanged over
     ICI and a psum'd work flag decides termination — the collective
     schedule is identical on every shard, so the while_loop stays uniform.
-    Runs under shard_map with roots_x/roots_a/roots_pd/lane state sharded
-    on the "enum" axis and mut/rdiag replicated. dual/findsubsols mirror
-    the single-chip kernel (fplll_tpu.enum.tpu._enum_run)."""
+    Runs under shard_map with the lane state sharded on the "enum" axis
+    and mut/rdiag AND the root queue replicated: shard i initially owns
+    the contiguous stripe [i*R_per, i*R_per + own_lens[i]) of the
+    round-robin-dealt queue, and drained shards steal range halves at
+    sweep boundaries (_steal_plan). dual/findsubsols mirror the
+    single-chip kernel (fplll_tpu.enum.tpu._enum_run)."""
     from ..enum.tpu import _make_step, _cround
 
     B = batch
     R = roots_x.shape[0]
+    n_dev = own_lens.shape[0]
+    R_per = R // n_dev
     nfix = roots_x.shape[1]
     dtype = mut.dtype
     step = _make_step(mut, rdiag, prune, m, is_svp, count_mode, dual=dual,
@@ -78,11 +121,15 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
         partdist = jnp.zeros((B, m + 1), dtype).at[:, k0].set(rpd)
         return x, dx, ddx, center, partdist, cs
 
+    me = jax.lax.axis_index("enum").astype(jnp.int32)
+    start = me * jnp.int32(R_per)
+    own_len = own_lens[me].astype(jnp.int32)
     idx0 = jnp.arange(B)
-    rx0 = roots_x[jnp.clip(idx0, 0, R - 1)]
-    ra0 = roots_a[jnp.clip(idx0, 0, R - 1)]
-    rpd0 = roots_pd[jnp.clip(idx0, 0, R - 1)]
-    live0 = (idx0 < R) & jnp.isfinite(rpd0) & (rpd0 <= A0)
+    gidx0 = jnp.clip(start + idx0, 0, R - 1)
+    rx0 = roots_x[gidx0]
+    ra0 = roots_a[gidx0]
+    rpd0 = roots_pd[gidx0]
+    live0 = (idx0 < own_len) & jnp.isfinite(rpd0) & (rpd0 <= A0)
     x, dx, ddx, center, partdist, cs = make_fresh(
         ra0, jnp.where(live0, rpd0, 0.0).astype(dtype))
     st = {
@@ -97,7 +144,9 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
         "best_root": jnp.zeros((B, nfix), dtype=dtype),
         "sol_count": jnp.zeros((B,), dtype=jnp.float64),
         "nodes": jnp.zeros((m,), dtype=jnp.float64),
-        "cursor": jnp.asarray(B, dtype=jnp.int32),
+        "cursor": start + jnp.minimum(jnp.int32(B), own_len),
+        "own_end": start + own_len,
+        "steals": jnp.asarray(0, dtype=jnp.int32),
         "rounds": jnp.asarray(0, dtype=jnp.int32),
         "work": jnp.asarray(True),
     }
@@ -121,6 +170,8 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
             else best_root_prev
         out["lane_root"] = lane_root
         out["cursor"] = cursor
+        out["own_end"] = s["own_end"]
+        out["steals"] = s["steals"]
         out["rounds"] = s["rounds"]
         out["work"] = s["work"]
         if findsubsols:
@@ -134,13 +185,13 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
                                            ss_root_prev) if nfix \
                 else ss_root_prev
 
-        need = ~out["active"] & (out["cursor"] < R)
+        need = ~out["active"] & (out["cursor"] < out["own_end"])
 
         def do_refill(t):
             needv = ~t["active"]
             rank = jnp.cumsum(needv.astype(jnp.int32)) - 1
             ridx = t["cursor"] + rank
-            can = needv & (ridx < R)
+            can = needv & (ridx < t["own_end"])
             ridx_c = jnp.clip(ridx, 0, R - 1)
             rx = roots_x[ridx_c].astype(dtype)
             ra = roots_a[ridx_c].astype(dtype)
@@ -162,7 +213,7 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
                 t["lane_root"] = jnp.where(sel, rx, t["lane_root"])
             t["cursor"] = jnp.minimum(
                 t["cursor"] + jnp.sum(needv, dtype=jnp.int32),
-                jnp.asarray(R, dtype=jnp.int32))
+                t["own_end"])
             return t
 
         return jax.lax.cond(jnp.any(need), do_refill, lambda t: t, out)
@@ -174,7 +225,13 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
             s["A"] = jax.lax.pmin(jnp.minimum(s["A"], jnp.min(
                 jnp.where(jnp.isfinite(s["best_dist"]), s["best_dist"],
                           jnp.inf)).astype(s["A"].dtype)), "enum")
-        local_work = jnp.any(s["active"]) | (s["cursor"] < R)
+        # sweep-boundary work rebalancing over the replicated queue
+        n_dead = jnp.sum((~s["active"]).astype(jnp.int32))
+        new_cursor, new_end, stole = _steal_plan(s["cursor"], s["own_end"],
+                                                 n_dead)
+        s["cursor"], s["own_end"] = new_cursor, new_end
+        s["steals"] = s["steals"] + stole.astype(jnp.int32)
+        local_work = jnp.any(s["active"]) | (s["cursor"] < s["own_end"])
         s["work"] = jax.lax.psum(local_work.astype(jnp.int32), "enum") > 0
         s["rounds"] = s["rounds"] + 1
         return s
@@ -188,6 +245,7 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd, A0,
 def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
                  mut_fix_hi, mut_fix_lo, cp0_hi, cp0_lo,
                  roots_x, roots_a, roots_pd_hi, roots_pd_lo, A0_hi, A0_lo,
+                 own_lens,
                  m: int, is_svp: bool, count_mode: bool, sync_steps: int,
                  max_rounds: int, batch: int, dual: bool = False,
                  findsubsols: bool = False):
@@ -235,13 +293,18 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
                       jnp.zeros((B, m + 1), dtype).at[:, k0].set(rpd.lo))
         return x, dx, ddx, center, partdist, cs
 
+    n_dev = own_lens.shape[0]
+    R_per = R // n_dev
+    me = jax.lax.axis_index("enum").astype(jnp.int32)
+    start = me * jnp.int32(R_per)
+    own_len = own_lens[me].astype(jnp.int32)
     A0 = DD(A0_hi, A0_lo)
     idx0 = jnp.arange(B)
-    ridx0 = jnp.clip(idx0, 0, R - 1)
+    ridx0 = jnp.clip(start + idx0, 0, R - 1)
     rx0 = roots_x[ridx0]
     ra0 = roots_a[ridx0]
     rpd0 = DD(roots_pd_hi[ridx0], roots_pd_lo[ridx0])
-    live0 = (idx0 < R) & jnp.isfinite(rpd0.hi) & \
+    live0 = (idx0 < own_len) & jnp.isfinite(rpd0.hi) & \
         _le(rpd0, DD(jnp.broadcast_to(A0.hi, (B,)),
                      jnp.broadcast_to(A0.lo, (B,))))
     rpd0 = _where(live0, rpd0, DD(jnp.zeros(B, dtype), jnp.zeros(B, dtype)))
@@ -261,7 +324,9 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
         "best_root": jnp.zeros((B, nfix), dtype=dtype),
         "sol_count": jnp.zeros((B,), dtype=jnp.float64),
         "nodes": jnp.zeros((m,), dtype=jnp.float64),
-        "cursor": jnp.asarray(B, dtype=jnp.int32),
+        "cursor": start + jnp.minimum(jnp.int32(B), own_len),
+        "own_end": start + own_len,
+        "steals": jnp.asarray(0, dtype=jnp.int32),
         "rounds": jnp.asarray(0, dtype=jnp.int32),
         "work": jnp.asarray(True),
     }
@@ -279,6 +344,7 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
             ss_vec_prev = s.pop("subsol_vec")
             ss_root_prev = s.pop("subsol_root")
         rounds, work = s.pop("rounds"), s.pop("work")
+        own_end, steals = s.pop("own_end"), s.pop("steals")
         out = step(s)
         better = out.pop("better")
         out["best_root"] = jnp.where(better[:, None], lane_root,
@@ -286,6 +352,8 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
             else best_root_prev
         out["lane_root"] = lane_root
         out["cursor"] = cursor
+        out["own_end"] = own_end
+        out["steals"] = steals
         out["rounds"] = rounds
         out["work"] = work
         if findsubsols:
@@ -299,13 +367,13 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
                                            ss_root_prev) if nfix \
                 else ss_root_prev
 
-        need = ~out["active"] & (out["cursor"] < R)
+        need = ~out["active"] & (out["cursor"] < out["own_end"])
 
         def do_refill(t):
             needv = ~t["active"]
             rank = jnp.cumsum(needv.astype(jnp.int32)) - 1
             ridx = t["cursor"] + rank
-            can = needv & (ridx < R)
+            can = needv & (ridx < t["own_end"])
             ridx_c = jnp.clip(ridx, 0, R - 1)
             rx = roots_x[ridx_c].astype(dtype)
             ra = roots_a[ridx_c].astype(dtype)
@@ -335,7 +403,7 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
                 t["lane_root"] = jnp.where(sel, rx, t["lane_root"])
             t["cursor"] = jnp.minimum(
                 t["cursor"] + jnp.sum(needv, dtype=jnp.int32),
-                jnp.asarray(R, dtype=jnp.int32))
+                t["own_end"])
             return t
 
         return jax.lax.cond(jnp.any(need), do_refill, lambda t: t, out)
@@ -362,7 +430,12 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
             pick = idx.astype(jnp.int32) == win
             s["A"] = jax.lax.psum(jnp.where(pick, A_hi, 0.0), "enum")
             s["A_lo"] = jax.lax.psum(jnp.where(pick, A_lo, 0.0), "enum")
-        local_work = jnp.any(s["active"]) | (s["cursor"] < R)
+        n_dead = jnp.sum((~s["active"]).astype(jnp.int32))
+        new_cursor, new_end, stole = _steal_plan(s["cursor"], s["own_end"],
+                                                 n_dead)
+        s["cursor"], s["own_end"] = new_cursor, new_end
+        s["steals"] = s["steals"] + stole.astype(jnp.int32)
+        local_work = jnp.any(s["active"]) | (s["cursor"] < s["own_end"])
         s["work"] = jax.lax.psum(local_work.astype(jnp.int32), "enum") > 0
         s["rounds"] = s["rounds"] + 1
         return s
@@ -405,6 +478,7 @@ def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
                "sol_count": jnp.sum(full["sol_count"])[None],
                "nodes": full["nodes"][None],
                "cursor": full["cursor"][None],
+               "steals": full["steals"][None],
                "rounds": full["rounds"][None]}
         if is_dd:
             out["A_lo"] = full["A_lo"]
@@ -418,34 +492,37 @@ def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
     if is_dd:
         def shard_fn(mut_h, mut_l, rdiag_h, rdiag_l, prune_h, prune_l,
                      fix_h, fix_l, cp0_h, cp0_l, rx_a, ra_a, rpd_h, rpd_l,
-                     A_h, A_l):
+                     A_h, A_l, lens_a):
             full = _mesh_run_dd(
                 mut_h, mut_l, rdiag_h, rdiag_l, prune_h, prune_l,
                 fix_h, fix_l, cp0_h, cp0_l, rx_a, ra_a, rpd_h, rpd_l,
-                A_h, A_l, m=m, is_svp=is_svp, count_mode=count_mode,
+                A_h, A_l, lens_a, m=m, is_svp=is_svp,
+                count_mode=count_mode,
                 sync_steps=sync_steps, max_rounds=1 << 22, batch=batch,
                 dual=dual, findsubsols=findsubsols)
             return finalize(full)
 
-        in_specs = (P(),) * 10 + (P("enum"), P("enum"), P("enum"),
-                                  P("enum")) + (P(), P())
+        # roots are REPLICATED (work stealing lets any shard walk any
+        # root); shard i's initial stripe is [i*R_per, i*R_per+lens[i])
+        in_specs = (P(),) * 10 + (P(), P(), P(), P()) + (P(), P(), P())
     else:
         def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, ra_a,
-                     rpd_a, A_a):
+                     rpd_a, A_a, lens_a):
             full = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
-                             rx_a, ra_a, rpd_a, A_a, m=m, is_svp=is_svp,
+                             rx_a, ra_a, rpd_a, A_a, lens_a, m=m,
+                             is_svp=is_svp,
                              count_mode=count_mode, sync_steps=sync_steps,
                              max_rounds=1 << 22, batch=batch, dual=dual,
                              findsubsols=findsubsols)
             return finalize(full)
 
-        in_specs = (P(), P(), P(), P(), P(), P("enum"), P("enum"),
-                    P("enum"), P())
+        in_specs = (P(), P(), P(), P(), P(), P(), P(),
+                    P(), P(), P())
 
     lane = P("enum")
     specs = {"A": P(), "best_dist": lane, "best_dev": lane,
              "best_root": lane, "sol_count": lane, "nodes": lane,
-             "cursor": lane, "rounds": lane}
+             "cursor": lane, "steals": lane, "rounds": lane}
     if is_dd:
         specs["A_lo"] = P()
         specs["best_dist_lo"] = lane
@@ -547,6 +624,7 @@ class ShardedEnumerator:
         rx_sh = np.zeros((self.n_dev, R_per, nfix_pad))
         ra_sh = np.zeros((self.n_dev, R_per, nfix_pad))
         rpd_sh = np.full((self.n_dev, R_per), np.inf)
+        own_lens = np.zeros(self.n_dev, dtype=np.int32)
         for dev in range(self.n_dev):
             sel_x = roots_x[dev::self.n_dev]
             sel_a = roots_a[dev::self.n_dev]
@@ -554,6 +632,7 @@ class ShardedEnumerator:
             rx_sh[dev, :len(sel_p), :nfix] = sel_x
             ra_sh[dev, :len(sel_p), :nfix] = sel_a if dual else sel_x
             rpd_sh[dev, :len(sel_p)] = sel_p
+            own_lens[dev] = len(sel_p)
         rx_flat = rx_sh.reshape(self.n_dev * R_per, nfix_pad)
         ra_flat = ra_sh.reshape(self.n_dev * R_per, nfix_pad)
         rpd_flat = rpd_sh.reshape(self.n_dev * R_per)
@@ -580,7 +659,8 @@ class ShardedEnumerator:
                 out = run(mh, ml, rh, rl, ph, pl, fh, fl, ch, cl,
                           jnp.asarray(rx_flat, jnp.float32),
                           jnp.asarray(ra_flat, jnp.float32),
-                          pdh, pdl, Ah, Al)
+                          pdh, pdl, Ah, Al,
+                          jnp.asarray(own_lens))
             else:
                 out = run(jnp.asarray(mut_pad, dt),
                           jnp.asarray(rdiag_pad, dt),
@@ -590,9 +670,11 @@ class ShardedEnumerator:
                           jnp.asarray(rx_flat, dt),
                           jnp.asarray(ra_flat, dt),
                           jnp.asarray(rpd_flat, dt),
-                          jnp.asarray(A0, dtype=dt))
+                          jnp.asarray(A0, dtype=dt),
+                          jnp.asarray(own_lens))
 
         out = jax.device_get(out)    # ONE batched host transfer
+        self.last_steals = int(np.asarray(out["steals"]).sum())
         # levels m_real..m-1 are virtual bucket padding (see
         # TPUEnumerator.enumerate): drop their artifact counters
         self.nodes[:m_real] += np.asarray(out["nodes"]).reshape(

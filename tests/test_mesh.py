@@ -225,3 +225,34 @@ def test_facade_mesh_realistic_dim(mesh, monkeypatch):
     assert facade.get_nodes() > 0
     # the found vector must be at least as short as the best basis row
     assert ev.begin()[0] <= A0
+
+
+def test_steal_rebalances_skewed_queue(mesh):
+    """Work stealing (the ICI analogue of enumlib's queue stealing,
+    enum-parallel/enumeration.h:460-505): on a pruned tree whose subtree
+    sizes are heavily skewed, drained shards must claim root ranges from
+    loaded ones, and the stolen partition must still enumerate exactly
+    the same solution set as the sequential oracle."""
+    from fplll_tpu.native import native_enumerate
+
+    RandGen.init_with_seed(9)
+    b = gen.gen_qary_bits(30, 15, 10)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    mut, rdiag, normexp = gso.export_mu_r(0, 30)
+    logrd = float(np.mean(np.log(rdiag)))
+    log_ball = 15.0 * math.log(math.pi) - math.lgamma(16.0)
+    gh2 = math.exp(logrd - 2.0 * log_ball / 30)
+    A = 1.3 * gh2
+
+    ev = FastEvaluator()
+    # tiny per-shard batches + tight sync so imbalance appears fast
+    se = ShardedEnumerator(mesh, batch_per_device=8, steps_per_sweep=64)
+    se.enumerate(mut, rdiag, None, np.zeros(30), A, True, ev,
+                 count_mode=True)
+    ref = native_enumerate(np.asarray(mut), np.asarray(rdiag), None, None,
+                           A, True, False, True)
+    if ref is not None:
+        assert ev.sol_count == ref[3]
+    assert se.last_steals >= 1, "no shard ever stole work"
