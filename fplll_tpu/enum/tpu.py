@@ -394,7 +394,8 @@ class TPUEnumerator:
     def _gen_roots(self, mut: np.ndarray, rdiag: np.ndarray,
                    prune: np.ndarray, cp0: np.ndarray, A: float,
                    d: int, is_svp: bool, dual: bool = False,
-                   subsols: Optional[dict] = None
+                   subsols: Optional[dict] = None, start=None,
+                   hard_cap: int = 1 << 22
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
         """Expand the top of the tree level by level until enough subtree
         roots exist. Returns (root_x (R, d-m), root_a (R, d-m),
@@ -402,9 +403,16 @@ class TPUEnumerator:
         m+j and root_a the center-accumulation value (x for primal, alpha
         for dual). Top-level node counts accumulate into self.nodes; when
         subsols is a dict, per-level best partials found during expansion
-        are recorded into it as level -> (dist, x-tail)."""
+        are recorded into it as level -> (dist, x-tail).
+
+        `start` = (xs, als, pd, height) resumes expansion from an
+        existing frontier whose columns hold levels [height, d) — the
+        chunked deep-tree path re-expands bounded slices this way. The
+        frontier never grows past hard_cap rows: above the device
+        ceiling the caller must chunk-and-recurse (_deep_enumerate)
+        instead of the r03 forced expansion whose cap was advisory."""
         target = self.target_root_factor * self.batch
-        if subsols is None:
+        if subsols is None and start is None:
             # native expansion (enum_core.c): same layout and node counts,
             # ~50x faster than the per-level numpy loop — this was the
             # dominant per-window cost of device-escalated BKZ windows
@@ -415,24 +423,29 @@ class TPUEnumerator:
                 xs, als, pd, m, nodes = out
                 self.nodes[:d] += nodes.astype(np.int64)[:d]
                 return xs, als, pd, m
-        # memory cap on the host frontier: once the device can take over
-        # (m_cand <= max_device_levels) never grow past hard_cap roots;
-        # above the device ceiling (d > max_device_levels + expanded
-        # levels) expansion is forced and the cap only trims per level
-        # via the pd <= A filter (reference in-core ceiling is dim 256,
-        # configure.ac:161-168; ours is the kernel height + this split)
-        hard_cap = 1 << 22
-        xs = np.zeros((1, 0))
-        als = np.zeros((1, 0))
-        pd = np.zeros(1)
-        zero_prefix = np.array([is_svp])
-        lvl = d - 1
+        if start is None:
+            xs = np.zeros((1, 0))
+            als = np.zeros((1, 0))
+            pd = np.zeros(1)
+            zero_prefix = np.array([is_svp])
+            lvl = d - 1
+        else:
+            xs, als, pd, height = start
+            xs = np.ascontiguousarray(xs, dtype=np.float64)
+            als = np.ascontiguousarray(als, dtype=np.float64)
+            pd = np.ascontiguousarray(pd, dtype=np.float64)
+            zero_prefix = (np.all(xs == 0.0, axis=1) if is_svp
+                           else np.zeros(len(pd), dtype=bool))
+            lvl = height - 1
         while lvl >= 1:
             m_cand = lvl + 1
             if m_cand <= self.max_device_levels and \
                     (xs.shape[0] >= target or m_cand <= 2 or
                      xs.shape[0] >= hard_cap):
                 break
+            if m_cand > self.max_device_levels and \
+                    xs.shape[0] >= hard_cap:
+                break   # hard memory bound: caller chunks and recurses
             acc = als if dual else xs
             c = cp0[lvl] - (acc @ mut[lvl, lvl + 1:d] if acc.shape[1] else 0.0)
             c = np.asarray(c, dtype=np.float64) + np.zeros(xs.shape[0])
@@ -442,6 +455,9 @@ class TPUEnumerator:
             hi = np.floor(c + w).astype(np.int64)
             lo = np.where(zero_prefix, np.maximum(lo, 0), lo)
             cnt = np.maximum(hi - lo + 1, 0)
+            if m_cand > self.max_device_levels and \
+                    int(cnt.sum()) >= hard_cap:
+                break   # would blow the hard bound: stop pre-materialize
             self.nodes[lvl] += int(cnt.sum())
             idx = np.repeat(np.arange(xs.shape[0]), cnt)
             offs = (np.arange(len(idx)) -
@@ -492,6 +508,59 @@ class TPUEnumerator:
         roots_x, roots_a, roots_pd, m_real = self._gen_roots(
             mut, rdiag, prune, cp0, A, d, is_svp, dual=dual,
             subsols=host_subsols)
+        if m_real > self.max_device_levels:
+            md = self._deep_enumerate(mut, rdiag, prune, cp0, A, maxdist,
+                                      d, is_svp, evaluator, count_mode,
+                                      dual, findsubsols, host_subsols,
+                                      roots_x, roots_a, roots_pd, m_real)
+            return md, self.nodes
+        md = self._launch(mut, rdiag, prune, cp0, A, maxdist, d, is_svp,
+                          evaluator, count_mode, dual, findsubsols,
+                          host_subsols, roots_x, roots_a, roots_pd, m_real)
+        return md, self.nodes
+
+    def _deep_enumerate(self, mut, rdiag, prune, cp0, A, maxdist_in, d,
+                        is_svp, evaluator, count_mode, dual, findsubsols,
+                        host_subsols, xs, als, pd, height) -> float:
+        """Chunked deep-tree search for lattices taller than the kernel
+        height (the reference's in-core ceiling is dim 256,
+        /root/reference/configure.ac:161-168): the over-tall frontier is
+        processed depth-first in bounded slices, each slice re-expanded
+        under a hard cap until its remaining height fits the device, and
+        the shrinking bound is carried across slice launches. Peak host
+        memory is bounded by deep_cap rows per pending level — the r03
+        forced expansion could exhaust memory on a dim-150 proved SVP."""
+        md = float(maxdist_in)
+        CH = 2048
+        cap = 1 << 16
+        stack = [(xs, als, pd, height)]
+        while stack:
+            fx, fa, fpd, lh = stack.pop()
+            bound = A if count_mode else min(A, md)
+            live = fpd <= bound
+            fx, fa, fpd = fx[live], fa[live], fpd[live]
+            for i in range(0, len(fpd), CH):
+                cx, ca, cpd = fx[i:i + CH], fa[i:i + CH], fpd[i:i + CH]
+                rx, ra, rpd, m2 = self._gen_roots(
+                    mut, rdiag, prune, cp0, bound, d, is_svp, dual=dual,
+                    subsols=host_subsols, start=(cx, ca, cpd, lh),
+                    hard_cap=cap)
+                if m2 > self.max_device_levels:
+                    stack.append((rx, ra, rpd, m2))
+                else:
+                    md = self._launch(mut, rdiag, prune, cp0, bound, md,
+                                      d, is_svp, evaluator, count_mode,
+                                      dual, findsubsols, host_subsols,
+                                      rx, ra, rpd, m2)
+        return md
+
+    def _launch(self, mut, rdiag, prune, cp0, A, maxdist_in, d, is_svp,
+                evaluator, count_mode, dual, findsubsols, host_subsols,
+                roots_x, roots_a, roots_pd, m_real) -> float:
+        """Pad one root batch to the kernel buckets, run the device
+        search (one launch), merge results into the evaluator; returns
+        the updated maxdist in the caller's scale."""
+        maxdist = maxdist_in
         order = np.argsort(roots_pd)
         roots_x, roots_a, roots_pd = (roots_x[order], roots_a[order],
                                       roots_pd[order])
@@ -614,10 +683,10 @@ class TPUEnumerator:
         maxdist_out = maxdist
         if count_mode:
             evaluator.sol_count += int(np.asarray(state["sol_count"]).sum())
-            return maxdist_out, self.nodes
+            return maxdist_out
         for dist, full in best_overall[:max(evaluator.max_sols * 4, 8)]:
             maxdist_out = evaluator.eval_sol(list(full), dist, maxdist_out)
-        return maxdist_out, self.nodes
+        return maxdist_out
 
     def _report_subsols(self, evaluator, state, host_subsols, m_real: int,
                         nfix: int, d: int) -> None:

@@ -588,6 +588,18 @@ class ShardedEnumerator:
         roots_x, roots_a, roots_pd, m_real = helper._gen_roots(
             mut, rdiag, prune_arr, cp0, float(maxdist), d, is_svp,
             dual=dual, subsols=host_subsols)
+        if m_real > self.max_device_levels:
+            # trees taller than the kernel run through the single-chip
+            # chunked deep path (TPUEnumerator._deep_enumerate); sharding
+            # its bounded slices across the mesh is future work
+            helper.dtype = self.dtype
+            helper.bound_slack = self.bound_slack
+            md = helper._deep_enumerate(
+                mut, rdiag, prune_arr, cp0, float(maxdist), maxdist, d,
+                is_svp, evaluator, count_mode, dual, findsubsols,
+                host_subsols, roots_x, roots_a, roots_pd, m_real)
+            self.last_steals = 0
+            return md, self.nodes
         order = np.argsort(roots_pd)
         roots_x, roots_a, roots_pd = (roots_x[order], roots_a[order],
                                       roots_pd[order])

@@ -247,3 +247,78 @@ def test_deep_tree_dim80_device():
         # f32 tree vs f64 DFS: counts agree up to boundary rounding
         assert abs(enum.nodes.sum() - ref[4].sum()) <= \
             max(8, 0.02 * ref[4].sum())
+
+
+def test_deep_chunked_expansion_matches_oracle():
+    """Trees taller than the kernel height run through the chunked
+    deep-tree path (bounded host frontier + per-slice launches with a
+    carried bound). Forcing a tiny kernel height on a dim-36 problem
+    exercises slicing + recursion cheaply; counts and the best solution
+    must match the sequential oracle exactly (f64 tree)."""
+    import math
+
+    from fplll_tpu.enum.tpu import TPUEnumerator
+    from fplll_tpu.jaxsetup import jnp
+    from fplll_tpu.native import native_enumerate
+
+    RandGen.init_with_seed(21)
+    b = gen.gen_qary_bits(36, 18, 10)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    mut, rdiag, normexp = gso.export_mu_r(0, 36)
+    mut = np.asarray(mut)
+    rdiag = np.asarray(rdiag)
+    logrd = float(np.mean(np.log(rdiag)))
+    log_ball = 18.0 * math.log(math.pi) - math.lgamma(19.0)
+    gh2 = math.exp(logrd - 2.0 * log_ball / 36)
+    A = 1.1 * gh2
+
+    enum = TPUEnumerator(batch=128, max_device_levels=16, dtype=jnp.float64)
+    ev = FastEvaluator()
+    enum.enumerate(mut, rdiag, None, np.zeros(36), A, True, ev,
+                   count_mode=True)
+    ref = native_enumerate(mut, rdiag, None, None, A, True, False, True)
+    assert ref is not None
+    assert ev.sol_count == ref[3], "chunked deep path missed solutions"
+
+    ev2 = FastEvaluator()
+    enum2 = TPUEnumerator(batch=128, max_device_levels=16,
+                          dtype=jnp.float64)
+    enum2.enumerate(mut, rdiag, None, np.zeros(36), A, True, ev2)
+    assert not ev2.empty()
+    assert abs(ev2.begin()[0] - ref[1]) <= 1e-9 * ref[1]
+
+
+@pytest.mark.slow
+def test_dim150_deep_tree_smoke():
+    """Dim-150 search through the deep-tree machinery (the r03 gap: the
+    forced expansion above 128 levels had only an advisory memory cap
+    and nothing above dim 80 was tested; reference in-core ceiling is
+    256, configure.ac:161-168). An unpruned dim-150 ball that contains
+    ANY lattice vector has an astronomically large tree (that is why
+    SVP-150 is cryptography), so the smoke test uses a radius just
+    under the projected minimum: every level above the kernel height is
+    still host-expanded and the kernel still runs, the tree provably
+    contains no solution, and the whole search must terminate with
+    bounded memory and correct per-level accounting."""
+    from fplll_tpu.core.gso import MatGSO as _M
+    from fplll_tpu.defs import GSO_ROW_EXPO
+    from fplll_tpu.enum.tpu import TPUEnumerator
+    from fplll_tpu.jaxsetup import jnp
+
+    RandGen.init_with_seed(33)
+    b = gen.gen_uniform(150, 6)
+    lll_reduction(b)
+    m0 = _M(b, flags=GSO_ROW_EXPO)
+    m0.update_gso()
+    mut, rdiag, normexp = m0.export_mu_r(0, 150)
+    mut = np.asarray(mut)
+    rdiag = np.asarray(rdiag)
+    A = float(rdiag.min()) * 0.999   # below every ||b*_i||^2: no solution
+    enum = TPUEnumerator(batch=128, dtype=jnp.float64)
+    ev = FastEvaluator()
+    enum.enumerate(mut, rdiag, None, np.zeros(150), A, True, ev)
+    assert enum._last_m_real <= enum.max_device_levels
+    assert enum.nodes.sum() > 0
+    assert ev.empty()
