@@ -727,7 +727,34 @@ class TPUEnumerator:
 _MIN_TPU_DIM = int(__import__("os").environ.get("FPLLL_TPU_MIN_ENUM_DIM", 34))
 
 
-def _make_enumerator(dtype):
+def gh_tree_estimate(rdiag, prune, A) -> float:
+    """Gaussian-heuristic estimate of the bound-passing node count
+    (the same level-volume sum bkz_core.c:enum_tree_estimate prices
+    windows with)."""
+    rdiag = np.asarray(rdiag, dtype=np.float64)
+    d = len(rdiag)
+    pr = np.ones(d) if prune is None else np.asarray(prune, np.float64)
+    ks = np.arange(1, d + 1)
+    logs = 0.5 * np.cumsum(np.log(rdiag))
+    lv = (ks / 2.0) * np.log(np.pi * pr * A) - \
+        np.array([math.lgamma(k / 2.0 + 1.0) for k in ks]) - logs
+    with np.errstate(over="ignore"):
+        return float(0.5 * np.exp(np.minimum(lv, 700)).sum())
+
+
+def auto_batch(est_nodes: float) -> int:
+    """Measured-table lane-batch selection (round-4 sweeps on the v5e:
+    pruned block-50/60 windows peak at B=1024 — deeper splitting beats
+    wider lanes once the in-kernel queue keeps lanes fed — while big
+    monolithic count-mode trees peak at B=4096). FPLLL_TPU_BATCH
+    overrides both."""
+    from ..threads import get_batch, _BATCH_ENV_SET
+    if _BATCH_ENV_SET:
+        return get_batch()
+    return 4096 if est_nodes > 3e8 else 1024
+
+
+def _make_enumerator(dtype, est_nodes: float = 0.0):
     """Pick the device enumerator for the facade: the sharded multi-chip
     driver whenever the default backend exposes more than one device (the
     analogue of enumlib auto-registering as the default extenum,
@@ -736,14 +763,15 @@ def _make_enumerator(dtype):
     import os
 
     from ..threads import get_batch
+    batch = auto_batch(est_nodes) if est_nodes > 0 else get_batch()
     ndev = len(jax.devices())
     if ndev > 1 and os.environ.get("FPLLL_TPU_MESH", "1") != "0":
         from ..parallel.mesh import ShardedEnumerator, make_enum_mesh
         return ShardedEnumerator(
             make_enum_mesh(),
-            batch_per_device=max(128, get_batch() // ndev),
+            batch_per_device=max(128, batch // ndev),
             dtype=dtype)
-    return TPUEnumerator(batch=get_batch(), dtype=dtype)
+    return TPUEnumerator(batch=batch, dtype=dtype)
 
 
 def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
@@ -871,7 +899,8 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
     if dtype == jnp.float64 and jax.default_backend() == "tpu":
         dtype = "dd32"     # dd32 carries dual and subsols since round 3
     while True:
-        enum = _make_enumerator(dtype)
+        enum = _make_enumerator(
+            dtype, est_nodes=gh_tree_estimate(rdiag, prune, trial))
         new_maxdist, nodes = enum.enumerate(mut, rdiag, prune, cp0, trial,
                                             is_svp, evaluator,
                                             count_mode=count_mode, dual=dual)
@@ -915,7 +944,10 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
     cp0 = np.zeros(m)
     for g in range(G):
         ev = FastEvaluator(nr_solutions=1)
-        enum = _make_enumerator(jnp.float32)
+        enum = _make_enumerator(
+            jnp.float32,
+            est_nodes=gh_tree_estimate(rdiags[g], prunes[g],
+                                       float(maxdists[g])))
         # measured on pruned block-50/60 windows: deeper splitting (more,
         # smaller subtree roots) shortens the low-utilization tail where
         # a handful of giant subtrees keep most lanes idle

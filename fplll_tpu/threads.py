@@ -9,16 +9,23 @@ kernel; get_threads reports lanes x devices (the analogue of
 
 from __future__ import annotations
 
-_DEFAULT_BATCH = 1024
+import os
+
+_DEFAULT_BATCH = int(os.environ.get("FPLLL_TPU_BATCH", "1024"))
+# explicit batch requests (env or set_threads) disable the per-problem
+# autotune in fplll_tpu.enum.tpu.auto_batch
+_BATCH_ENV_SET = "FPLLL_TPU_BATCH" in os.environ
 
 
 def set_threads(n: int = -1) -> int:
     """Set the lane batch (clamped to [128, 65536]; -1 = default)."""
-    global _DEFAULT_BATCH
+    global _DEFAULT_BATCH, _BATCH_ENV_SET
     if n == -1:
         _DEFAULT_BATCH = 1024
+        _BATCH_ENV_SET = "FPLLL_TPU_BATCH" in os.environ
     else:
         _DEFAULT_BATCH = max(128, min(int(n), 65536))
+        _BATCH_ENV_SET = True
     return _DEFAULT_BATCH
 
 
