@@ -392,6 +392,10 @@ class BkzArgs(ctypes.Structure):
         ("nodes_out", ctypes.c_double),
         ("n_swaps_out", ctypes.c_long),
         ("clean_out", ctypes.c_int),
+        ("t_enum_out", ctypes.c_double),
+        ("t_dev_out", ctypes.c_double),
+        ("t_lll_out", ctypes.c_double),
+        ("t_misc_out", ctypes.c_double),
     ]
 
 
@@ -521,6 +525,9 @@ def native_bkz_tour(b, pack: dict, *, lll_delta: float, lll_eta: float,
     changed = not bool(np.array_equal(blimbs, limbs0))
     if changed:
         _copy_back(b, blimbs)
+    native_bkz_tour.last_timers = {
+        "enum_s": float(a.t_enum_out), "device_s": float(a.t_dev_out),
+        "lll_s": float(a.t_lll_out), "misc_s": float(a.t_misc_out)}
     return (int(status), float(a.nodes_out), int(a.n_swaps_out),
             int(a.clean_out), changed)
 

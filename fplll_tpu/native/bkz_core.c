@@ -28,6 +28,14 @@
 #include "enum_core.c"
 #undef MAXD
 
+#include <time.h>
+
+static double now_s(void) {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
 #define BKZ_MAXD 512
 #define BKZF_GH_BND 0x80
 
@@ -72,14 +80,25 @@ typedef struct {
   double nodes_out;
   long n_swaps_out;
   int clean_out;
+  /* phase timers (seconds; filled when profiling is cheap enough to
+     leave on — one clock_gettime pair per phase call) */
+  double t_enum_out;   /* sequential C enumeration */
+  double t_dev_out;    /* device callback (incl. python) */
+  double t_lll_out;    /* in-state LLL / size reduction */
+  double t_misc_out;   /* export + radius + insertion bookkeeping */
 } bkz_args;
 
 typedef struct {
   lll_state S;
-  const bkz_args *a;
+  bkz_args *a;
   enum_dev_cb cb;
   long clean_lll_end, clean_lll_ver; /* prefix-clean memos */
   long clean_sr_end, clean_sr_ver;
+  int clean_px, sr_px; /* rows [0, px) reduced AND untouched since: the
+                          L2 / size-reduction sweeps restart there
+                          instead of row 1 (the conditions only involve
+                          earlier rows, so an untouched reduced prefix
+                          stays reduced) */
   uint64_t rng;
   double nodes;
   int status; /* sticky RED_* / OVERFLOW / -2 cb error */
@@ -107,8 +126,14 @@ static long rnd_below(bkz_ctx *B, long nmax) {
 }
 
 /* ---------------- exact row operations with GSO bookkeeping ----------- */
+static void px_touch(bkz_ctx *B, int t) {
+  if (t < B->clean_px) B->clean_px = t;
+  if (t < B->sr_px) B->sr_px = t;
+}
+
 static void mark_changed(bkz_ctx *B, int t) {
   lll_state *S = &B->S;
+  px_touch(B, t);
   update_bf(S, t);
   invalidate_gram(S, t);
   S->valid[t] = 0;
@@ -168,6 +193,7 @@ static void rot_rows_left(double *m, int stride, int first, int last,
 static void move_row_bkz(bkz_ctx *B, int old_r, int new_r) {
   lll_state *S = &B->S;
   if (old_r == new_r) return;
+  px_touch(B, new_r < old_r ? new_r : old_r);
   if (new_r < old_r) { /* down-move: insertion (lll_core move_row) */
     move_row(S, old_r, new_r, B->dtmp, B->btmp);
     S->version++;
@@ -214,9 +240,11 @@ static int babai_bkz(bkz_ctx *B, int kappa, int min_col) {
   long v0 = S->version;
   int status = RED_SUCCESS;
   int ok = babai(S, kappa, min_col, &status);
-  if (S->version != v0) /* row kappa written: later rows' col kappa stale */
+  if (S->version != v0) { /* row kappa written: later cols stale */
+    px_touch(B, kappa);
     for (int j = kappa + 1; j < S->d; j++)
       if (S->valid[j] > kappa) S->valid[j] = kappa;
+  }
   if (!ok) {
     B->status = status ? status : RED_BABAI_FAILURE;
     return 0;
@@ -229,7 +257,16 @@ static int babai_bkz(bkz_ctx *B, int kappa, int min_col) {
    prefix-clean memo: LLL holds on every prefix of a reduced prefix, so a
    repeat ask on an untouched basis is O(1) (replaces the Python-side memo
    of algs/bkz.py:140-147 that the recursion hit ~100k times per tour). */
+static int lll_in_state_impl(bkz_ctx *B, int kappa_end, int size_red_only);
+
 static int lll_in_state(bkz_ctx *B, int kappa_end, int size_red_only) {
+  double t0 = now_s();
+  int rc = lll_in_state_impl(B, kappa_end, size_red_only);
+  B->a->t_lll_out += now_s() - t0;
+  return rc;
+}
+
+static int lll_in_state_impl(bkz_ctx *B, int kappa_end, int size_red_only) {
   lll_state *S = &B->S;
   if (kappa_end > S->d) kappa_end = S->d;
   if (B->clean_lll_ver == S->version && kappa_end <= B->clean_lll_end)
@@ -242,13 +279,15 @@ static int lll_in_state(bkz_ctx *B, int kappa_end, int size_red_only) {
     return 0;
   }
   if (size_red_only) {
-    for (int k = 1; k < kappa_end; k++) {
+    int k0 = B->sr_px > 1 ? B->sr_px : 1;
+    for (int k = k0; k < kappa_end; k++) {
       if (!babai_bkz(B, k, 0)) return 0;
       if (!update_gso_row(S, k, k)) {
         B->status = RED_GSO_FAILURE;
         return 0;
       }
     }
+    if (kappa_end > B->sr_px) B->sr_px = kappa_end;
     long v = S->version;
     if (!(B->clean_sr_ver == v && B->clean_sr_end >= kappa_end)) {
       B->clean_sr_end =
@@ -260,7 +299,7 @@ static int lll_in_state(bkz_ctx *B, int kappa_end, int size_red_only) {
     return 1;
   }
   {
-    int kappa = 1;
+    int kappa = B->clean_px > 1 ? B->clean_px : 1;
     double lovasz[BKZ_MAXD + 1];
     long iter = 0, max_iter = (long)S->d * S->d * 4000L + 100000L;
     while (kappa < kappa_end && iter++ < max_iter) {
@@ -302,6 +341,8 @@ static int lll_in_state(bkz_ctx *B, int kappa_end, int size_red_only) {
       return 0;
     }
   }
+  if (kappa_end > B->clean_px) B->clean_px = kappa_end;
+  if (kappa_end > B->sr_px) B->sr_px = kappa_end; /* LLL implies SR */
   {
     long v = S->version;
     B->clean_lll_end = (B->clean_lll_ver == v && B->clean_lll_end > kappa_end)
@@ -499,9 +540,13 @@ static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
           (double)B->a->hybrid_budget) {
     /* predictably past the crossover: go straight to the device */
     double A = maxdist, ddist = INFINITY, dnodes = 0.0;
+    double t0 = now_s();
+    int rc0;
     for (int i = 0; i < bs; i++) B->prune_s[i] = prune ? prune[i] : 1.0;
-    if (B->cb(1, bs, mut, rdiag, B->prune_s, &A, B->sol_s, &ddist,
-              &dnodes)) {
+    rc0 = B->cb(1, bs, mut, rdiag, B->prune_s, &A, B->sol_s, &ddist,
+                &dnodes);
+    B->a->t_dev_out += now_s() - t0;
+    if (rc0) {
       B->status = -2;
       return -1;
     }
@@ -517,9 +562,15 @@ static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
      estimate can be off; a genuinely huge tree still escalates) */
   long long budget = dev_ok ? 16 * B->a->hybrid_budget : 0;
   er.nodes_budget = budget;
-  if (enum_run(bs, mut, rdiag, prune, NULL, 1, 0, 0, bx, nodes_lvl, &er)) {
-    B->status = RED_LLL_FAILURE;
-    return -1;
+  {
+    double t0 = now_s();
+    int rc0 = enum_run(bs, mut, rdiag, prune, NULL, 1, 0, 0, bx,
+                       nodes_lvl, &er);
+    B->a->t_enum_out += now_s() - t0;
+    if (rc0) {
+      B->status = RED_LLL_FAILURE;
+      return -1;
+    }
   }
   for (int i = 0; i < bs; i++) B->nodes += nodes_lvl[i];
   int complete = !budget || er.visited < budget;
@@ -536,9 +587,12 @@ static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
   {
     double A = er.maxdist;
     double ddist = INFINITY, dnodes = 0.0;
+    double t0 = now_s();
+    int rc;
     for (int i = 0; i < bs; i++) B->prune_s[i] = prune ? prune[i] : 1.0;
-    int rc = B->cb(1, bs, mut, rdiag, B->prune_s, &A, B->sol_s, &ddist,
-                   &dnodes);
+    rc = B->cb(1, bs, mut, rdiag, B->prune_s, &A, B->sol_s, &ddist,
+               &dnodes);
+    B->a->t_dev_out += now_s() - t0;
     if (rc != 0) {
       B->status = -2;
       return -1;
@@ -714,6 +768,8 @@ int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
   for (int i = 0; i < d; i++) update_bf(S, i);
   for (size_t i = 0; i < (size_t)d * d; i++) S->gf[i] = NAN;
   S->n_known_rows = d;
+  a->t_enum_out = a->t_dev_out = a->t_lll_out = a->t_misc_out = 0.0;
+  double t_start = now_s();
   {
     bkz_par par = {a->block_size, a->flags, a->gh_factor, a->min_succ,
                    a->density};
@@ -724,6 +780,8 @@ int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
       a->clean_out = c;
   }
 done:
+  a->t_misc_out = (now_s() - t_start) - a->t_enum_out - a->t_dev_out -
+                  a->t_lll_out;
   a->nodes_out = B.nodes;
   a->n_swaps_out = S->n_swaps;
   free(S->bf);
