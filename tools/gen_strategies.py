@@ -68,16 +68,55 @@ def target_prob(beta: int) -> float:
     return 0.5
 
 
+_CALIBRATION = None
+
+
+def _calibration():
+    """Measured chains + preprocessing node costs from
+    tools/calibrate_preproc.py (round-4 replacement for the [beta-20]
+    rule and the 100*beta^2 guess); interpolated between measured
+    blocks, absent file falls back to the old rules."""
+    global _CALIBRATION
+    if _CALIBRATION is None:
+        path = os.path.join(os.path.dirname(__file__),
+                            "preproc_calibration.json")
+        try:
+            with open(path) as f:
+                _CALIBRATION = {int(k): v for k, v in json.load(f).items()}
+        except OSError:
+            _CALIBRATION = {}
+    return _CALIBRATION
+
+
+def _nearest_measured(beta: int):
+    cal = _calibration()
+    if not cal:
+        return None
+    key = min(cal, key=lambda b: abs(b - beta))
+    return key, cal[key]
+
+
 def preproc_cost(beta: int) -> float:
-    """Rough node-cost of one preprocessing pass over a block (the
-    recursive BKZ-(beta-20) tour of svp_preprocessing): ~100 * beta^2
-    matches the measured order of magnitude on the bench bases."""
-    return 100.0 * beta * beta
+    """Node-cost of one preprocessing pass over a block, measured on
+    bench profiles where available (log-interpolated by block size)."""
+    near = _nearest_measured(beta)
+    if near is None:
+        return 100.0 * beta * beta
+    key, row = near
+    # scale the measured cost by the uncalibrated model's ratio so
+    # between-measurement blocks interpolate smoothly
+    return max(row["preproc_nodes"] * (beta * beta) / (key * key), 1.0)
 
 
 def preproc_sizes(beta: int):
-    """Stack-calibrated rule from the round-1 calibration run: one
-    recursive preprocessing stage roughly 20 below the block."""
+    """Measured best chain for the nearest calibrated block, shifted to
+    this block size; fallback: one stage 20 below (round-1 rule)."""
+    near = _nearest_measured(beta)
+    if near is not None:
+        key, row = near
+        chain = [c + (beta - key) for c in row.get("best_chain", [])]
+        chain = [c for c in chain if 10 <= c < beta]
+        return chain
     return [beta - 20] if beta - 20 >= 10 else []
 
 
