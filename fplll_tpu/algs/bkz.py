@@ -393,11 +393,14 @@ class BKZReduction:
         # crossover + device-eligibility policy: below _MIN_TPU_DIM the
         # sequential core always wins; above it, the C loop routes windows
         # whose GH tree estimate exceeds this budget straight to the
-        # device. The TPU default prices the measured per-launch overhead
-        # (~0.3-0.5s over the attachment ~ 15-25M sequential-core nodes).
+        # device. The GH estimate counts bound-passing nodes and runs
+        # ~3-10x under the visited count on extreme-pruned windows, so
+        # the threshold is set well below the measured ~20M-visited
+        # break-even of the launch overhead (block-70 tours showed 30M+
+        # node windows pricing under the old 15M threshold).
         from ..enum.tpu import _MIN_TPU_DIM
         from ..jaxsetup import jax
-        default_budget = 15_000_000 if jax.default_backend() == "tpu" \
+        default_budget = 4_000_000 if jax.default_backend() == "tpu" \
             else 64_000_000
         budget = int(os.environ.get("FPLLL_TPU_HYBRID_NODES",
                                     str(default_budget)))

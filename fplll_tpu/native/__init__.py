@@ -31,8 +31,11 @@ def _compile(src_name: str, so_name: str, extra_flags=()) -> Optional[str]:
                                os.path.expanduser("~/.cache/fplll_tpu"))
     os.makedirs(cache_dir, exist_ok=True)
     so_path = os.path.join(cache_dir, so_name)
-    if os.path.exists(so_path) and \
-            os.path.getmtime(so_path) >= os.path.getmtime(src):
+    # staleness check covers every .c in the directory: bkz_core.c
+    # #includes lll_core.c/enum_core.c, so its own mtime is not enough
+    newest = max(os.path.getmtime(os.path.join(_HERE, f))
+                 for f in os.listdir(_HERE) if f.endswith(".c"))
+    if os.path.exists(so_path) and os.path.getmtime(so_path) >= newest:
         return so_path
     cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
            *extra_flags, "-o", so_path, src, "-lm"]
@@ -322,31 +325,40 @@ def native_lll_fast(b, u=None, delta: float = 0.99, eta: float = 0.51,
         maxbits = int(np.abs(arr).max()).bit_length() if arr.size else 0
     else:
         maxbits = b.get_max_exp()
-    L = max(2, (maxbits + 130) // 64 + 2)
-    if L > 480:
+    # limb width: measured round 4 — a tighter width (+62 headroom) only
+    # bought ~6% on the babai row ops but overflowed on real BKZ window
+    # inputs (babai coefficients reach 2^50+ against unreduced rows), so
+    # the conservative width stays; the single-entry loop keeps the
+    # retry structure should the policy change
+    for L in (max(2, (maxbits + 130) // 64 + 2),):
+        if L > 480:
+            return None
+        blimbs = _ints_to_limbs(arr if arr is not None else b.a, L)
+        limbs0 = blimbs.copy()
+        ulimbs = None
+        if u is not None:
+            ulimbs = _ints_to_limbs(u.a, L)
+        n_swaps = ctypes.c_long(0)
+        status = lib.lll_fast(
+            d, n, L, blimbs,
+            ulimbs.ctypes.data_as(ctypes.c_void_p)
+            if ulimbs is not None else None,
+            float(delta), float(eta), int(kappa_end), int(size_red_only),
+            ctypes.byref(n_swaps))
+        native_lll_fast.last_n_swaps = int(n_swaps.value)
+        if status == 13 and L < max(2, (maxbits + 130) // 64 + 2):
+            continue    # limb overflow at the tight width: widen and redo
+        if status in (0, 2, 3, 4, 13):
+            # partial progress (nonzero statuses) is still valid basis
+            # state; copy back so the python escalation continues from it
+            changed = not bool(np.array_equal(blimbs, limbs0))
+            if changed:
+                _copy_back(b, blimbs)
+                if u is not None and ulimbs is not None:
+                    _copy_back(u, ulimbs)
+            st = int(status)
+            return (st, changed) if report_changed else st
         return None
-    blimbs = _ints_to_limbs(arr if arr is not None else b.a, L)
-    limbs0 = blimbs.copy()
-    ulimbs = None
-    if u is not None:
-        ulimbs = _ints_to_limbs(u.a, L)
-    n_swaps = ctypes.c_long(0)
-    status = lib.lll_fast(
-        d, n, L, blimbs,
-        ulimbs.ctypes.data_as(ctypes.c_void_p) if ulimbs is not None else None,
-        float(delta), float(eta), int(kappa_end), int(size_red_only),
-        ctypes.byref(n_swaps))
-    native_lll_fast.last_n_swaps = int(n_swaps.value)
-    if status in (0, 2, 3, 4, 13):
-        # partial progress (nonzero statuses) is still valid basis state;
-        # copy back so the python escalation continues from it
-        changed = not bool(np.array_equal(blimbs, limbs0))
-        if changed:
-            _copy_back(b, blimbs)
-            if u is not None and ulimbs is not None:
-                _copy_back(u, ulimbs)
-        st = int(status)
-        return (st, changed) if report_changed else st
     return None
 
 
@@ -396,6 +408,8 @@ class BkzArgs(ctypes.Structure):
         ("t_dev_out", ctypes.c_double),
         ("t_lll_out", ctypes.c_double),
         ("t_misc_out", ctypes.c_double),
+        ("t_babai_out", ctypes.c_double),
+        ("t_move_out", ctypes.c_double),
     ]
 
 
@@ -492,6 +506,9 @@ def native_bkz_tour(b, pack: dict, *, lll_delta: float, lll_eta: float,
         maxbits = int(np.abs(arr).max()).bit_length() if arr.size else 0
     else:
         maxbits = b.get_max_exp()
+    # conservative width (see native_lll_fast): a mid-tour limb overflow
+    # costs a full Python re-tour, which round-4 measurement showed is
+    # ~35x worse than the ~6% the tighter width saves
     L = max(2, (maxbits + 130) // 64 + 2)
     if L > 480:
         return None
@@ -527,7 +544,8 @@ def native_bkz_tour(b, pack: dict, *, lll_delta: float, lll_eta: float,
         _copy_back(b, blimbs)
     native_bkz_tour.last_timers = {
         "enum_s": float(a.t_enum_out), "device_s": float(a.t_dev_out),
-        "lll_s": float(a.t_lll_out), "misc_s": float(a.t_misc_out)}
+        "lll_s": float(a.t_lll_out), "misc_s": float(a.t_misc_out),
+        "babai_s": float(a.t_babai_out), "move_s": float(a.t_move_out)}
     return (int(status), float(a.nodes_out), int(a.n_swaps_out),
             int(a.clean_out), changed)
 

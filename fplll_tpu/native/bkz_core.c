@@ -86,6 +86,8 @@ typedef struct {
   double t_dev_out;    /* device callback (incl. python) */
   double t_lll_out;    /* in-state LLL / size reduction */
   double t_misc_out;   /* export + radius + insertion bookkeeping */
+  double t_babai_out;  /* share of t_lll: lazy size reduction */
+  double t_move_out;   /* share of t_lll: row moves/swaps */
 } bkz_args;
 
 typedef struct {
@@ -193,10 +195,12 @@ static void rot_rows_left(double *m, int stride, int first, int last,
 static void move_row_bkz(bkz_ctx *B, int old_r, int new_r) {
   lll_state *S = &B->S;
   if (old_r == new_r) return;
+  double t0 = now_s();
   px_touch(B, new_r < old_r ? new_r : old_r);
   if (new_r < old_r) { /* down-move: insertion (lll_core move_row) */
     move_row(S, old_r, new_r, B->dtmp, B->btmp);
     S->version++;
+    B->a->t_move_out += now_s() - t0;
     return;
   }
   /* up-move: row old_r goes later; rows (old_r, new_r] shift down one.
@@ -233,13 +237,16 @@ static void move_row_bkz(bkz_ctx *B, int old_r, int new_r) {
     memcpy(row(S, new_r), B->btmp, bsz * 8);
   }
   S->version++;
+  B->a->t_move_out += now_s() - t0;
 }
 
 static int babai_bkz(bkz_ctx *B, int kappa, int min_col) {
   lll_state *S = &B->S;
   long v0 = S->version;
   int status = RED_SUCCESS;
+  double t0 = now_s();
   int ok = babai(S, kappa, min_col, &status);
+  B->a->t_babai_out += now_s() - t0;
   if (S->version != v0) { /* row kappa written: later cols stale */
     px_touch(B, kappa);
     for (int j = kappa + 1; j < S->d; j++)
@@ -722,6 +729,18 @@ static int tour_c(bkz_ctx *B, const bkz_par *par, int min_row, int max_row) {
   return clean;
 }
 
+/* expose lll_core's babai micro-profile: [t_update_gso_row, t_redloop,
+   t_bf_refresh, calls, iters] */
+void bkz_prof(double *out) {
+  out[0] = g_t_ugr;
+  out[1] = g_t_red;
+  out[2] = g_t_bf;
+  out[3] = (double)g_babai_calls;
+  out[4] = (double)g_babai_iters;
+  out[5] = g_t_rowop;
+  out[6] = (double)g_rowops;
+}
+
 /* ---------------- entry ------------------------------------------------ */
 int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
   if (a->d < 1 || a->d > BKZ_MAXD || a->n > 4096 || a->L > BKZ_MAXD)
@@ -769,6 +788,7 @@ int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
   for (size_t i = 0; i < (size_t)d * d; i++) S->gf[i] = NAN;
   S->n_known_rows = d;
   a->t_enum_out = a->t_dev_out = a->t_lll_out = a->t_misc_out = 0.0;
+  a->t_babai_out = a->t_move_out = 0.0;
   double t_start = now_s();
   {
     bkz_par par = {a->block_size, a->flags, a->gh_factor, a->min_succ,

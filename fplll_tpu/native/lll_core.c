@@ -27,6 +27,17 @@
 #define MAXD 512
 #define SIZE_RED_FAILURE_THRESH 5
 
+/* micro-profiling accumulators + clock (near-zero overhead; the BKZ TU
+   exposes the totals through bkz_prof) */
+static double g_t_ugr, g_t_red, g_t_bf, g_t_rowop;
+static long g_babai_calls, g_babai_iters, g_rowops;
+#include <time.h>
+static double lll_now_s(void) {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
 typedef unsigned __int128 u128;
 typedef __int128 i128;
 
@@ -207,8 +218,20 @@ static int update_gso_row(lll_state *S, int i, int last_j) {
   return 1;
 }
 
+static int row_addmul_we_impl(lll_state *S, int kappa, int j, double mu_rnd,
+                              long expo);
+
 static int row_addmul_we(lll_state *S, int kappa, int j, double mu_rnd,
                          long expo) {
+  double t0 = lll_now_s();
+  int rc = row_addmul_we_impl(S, kappa, j, mu_rnd, expo);
+  g_t_rowop += lll_now_s() - t0;
+  g_rowops++;
+  return rc;
+}
+
+static int row_addmul_we_impl(lll_state *S, int kappa, int j, double mu_rnd,
+                              long expo) {
   /* apply b[kappa] += (-mu_rnd * 2^expo) * b[j] exactly */
   double v = -mu_rnd;
   int fe;
@@ -241,13 +264,21 @@ static int babai(lll_state *S, int kappa, int min_col, int *status) {
   int have_max = 0;
   double babai_mu[MAXD];
   long babai_expo[MAXD];
+  g_babai_calls++;
   for (int iter = 0;; iter++) {
-    if (!update_gso_row(S, kappa, kappa - 1)) { *status = RED_GSO_FAILURE; return 0; }
+    g_babai_iters++;
+    double tu0 = lll_now_s();
+    int ugr_ok = update_gso_row(S, kappa, kappa - 1);
+    g_t_ugr += lll_now_s() - tu0;
+    if (!ugr_ok) { *status = RED_GSO_FAILURE; return 0; }
     int loop_needed = 0;
     for (int j = kappa - 1; j >= min_col; j--) {
       double v = S->mu[(size_t)kappa * S->d + j];
       long e = S->row_expo[kappa] - S->row_expo[j];
-      double t = fabs(ldexp(v, e < 1024 ? (int)e : 1024));
+      /* e == 0 on almost every pair of a reduced window: skip the libm
+         ldexp (it dominated block-70 BKZ tours at ~1e9 calls) */
+      double t = e == 0 ? fabs(v)
+                        : fabs(ldexp(v, e < 1024 ? (int)e : 1024));
       if (!(t <= S->eta)) { loop_needed = 1; break; }
     }
     if (!loop_needed) break;
@@ -267,6 +298,7 @@ static int babai(lll_state *S, int kappa, int min_col, int *status) {
       max_expo = nm;
       have_max = 1;
     }
+    double tr0 = lll_now_s();
     for (int j = min_col; j < kappa; j++) {
       babai_mu[j] = S->mu[(size_t)kappa * S->d + j];
       babai_expo[j] = S->row_expo[kappa] - S->row_expo[j];
@@ -276,18 +308,28 @@ static int babai(lll_state *S, int kappa, int min_col, int *status) {
       long e = babai_expo[j];
       double mu_rnd;
       if (v == 0.0) continue;
-      int fe; frexp(v, &fe);
-      if (fe + e >= 53) mu_rnd = v;
-      else mu_rnd = ldexp(rint(ldexp(v, (int)e)), (int)-e);
+      if (e == 0) {
+        /* common case: same row scale — rnd_we is a plain rint, and
+           the frexp/ldexp pair (libm) is the expensive part of this
+           loop at BKZ's ~1e7 babai calls per tour */
+        mu_rnd = fabs(v) >= 9007199254740992.0 ? v : rint(v);
+      } else {
+        int fe; frexp(v, &fe);
+        if (fe + e >= 53) mu_rnd = v;
+        else mu_rnd = ldexp(rint(ldexp(v, (int)e)), (int)-e);
+      }
       if (mu_rnd == 0.0) continue;
       for (int k = min_col; k < j; k++)
         babai_mu[k] -= mu_rnd * S->mu[(size_t)j * S->d + k];
       if (row_addmul_we(S, kappa, j, mu_rnd, e)) { *status = OVERFLOW_FAILURE; return 0; }
     }
+    g_t_red += lll_now_s() - tr0;
     /* refresh float state of row kappa */
+    double tb0 = lll_now_s();
     update_bf(S, kappa);
     invalidate_gram(S, kappa);
     S->valid[kappa] = 0;
+    g_t_bf += lll_now_s() - tb0;
   }
   return 1;
 }

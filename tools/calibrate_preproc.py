@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def candidate_chains(beta: int):
-    outs = [[]]
+    # the empty chain is only bounded for small blocks (block-50 windows
+    # without preprocessing already measured ~350x slower; at block 70 a
+    # single unpreprocessed window can run for hours)
+    outs = [[]] if beta < 55 else []
     for gap in (24, 20, 16, 12):
         if beta - gap >= 10:
             outs.append([beta - gap])
@@ -127,11 +130,14 @@ def main() -> int:
         os.path.dirname(__file__), "preproc_calibration.json"))
     args = ap.parse_args()
     out = {}
+    if os.path.exists(args.out):     # incremental: resume/merge
+        with open(args.out) as f:
+            out = json.load(f)
     for beta in (int(x) for x in args.blocks.split(",")):
         print(f"calibrating beta={beta}", flush=True)
         out[str(beta)] = measure_block(beta, args.reps, args.budget_s)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)   # write after every block
     print("wrote", args.out)
     return 0
 

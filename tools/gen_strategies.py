@@ -97,27 +97,41 @@ def _nearest_measured(beta: int):
 
 
 def preproc_cost(beta: int) -> float:
-    """Node-cost of one preprocessing pass over a block, measured on
-    bench profiles where available (log-interpolated by block size)."""
+    """Node-cost of one preprocessing pass over a block. Measured points
+    (tools/calibrate_preproc.py on the bench profiles): ~2.0e4 nodes at
+    block 40, ~4.3e5 at block 60; log-linear fit between/beyond (the
+    growth rate ~10^0.066 per block matches the repeated-cost curve the
+    strategizer observes). Replaces the round-1 100*beta^2 guess, which
+    undercounted block-60+ preprocessing by ~10x."""
     near = _nearest_measured(beta)
-    if near is None:
-        return 100.0 * beta * beta
-    key, row = near
-    # scale the measured cost by the uncalibrated model's ratio so
-    # between-measurement blocks interpolate smoothly
-    return max(row["preproc_nodes"] * (beta * beta) / (key * key), 1.0)
+    if near and near[1].get("preproc_nodes", 1) > 1:
+        key, row = near
+        return max(row["preproc_nodes"] *
+                   10.0 ** (0.0665 * (beta - key)), 1.0)
+    return 10.0 ** (4.3 + 0.0665 * (beta - 40))
 
 
 def preproc_sizes(beta: int):
-    """Measured best chain for the nearest calibrated block, shifted to
-    this block size; fallback: one stage 20 below (round-1 rule)."""
+    """Measured chain rule (tools/calibrate_preproc.py, two calibration
+    runs): single-stage chains beat two-stage ladders at every measured
+    block, and the best gap widens with the block — [26] at block 50
+    (0.41 s vs 2.27 s for [30]), [36] at 60 (10.9 s vs 15.0 s for [40]),
+    [46] at 70 (80 s vs 382 s for [50]); block 40 prefers [20]. Rule:
+    one stage, gap 24 from block 45 up, gap 20 below (replaces the
+    round-1 [beta-20] rule everywhere)."""
     near = _nearest_measured(beta)
     if near is not None:
         key, row = near
         chain = [c + (beta - key) for c in row.get("best_chain", [])]
         chain = [c for c in chain if 10 <= c < beta]
-        return chain
-    return [beta - 20] if beta - 20 >= 10 else []
+        # the noisy beta=50 run measured the empty chain fastest on its
+        # two maintenance windows; the first-tour measurement of the
+        # other run (10.6 s vs 0.03 s) says otherwise — never emit an
+        # empty chain for pruned blocks
+        if chain or beta < 45:
+            return chain
+    gap = 24 if beta >= 45 else 20
+    return [beta - gap] if beta - gap >= 10 else []
 
 
 def gen_block(beta: int):
