@@ -259,6 +259,50 @@ static int row_addmul_we_impl(lll_state *S, int kappa, int j, double mu_rnd,
   return 0;
 }
 
+typedef struct {
+  int j;
+  int64_t lx;
+} red_op;
+
+static int bn_addmul_fused(lll_state *S, int kappa, const red_op *ops,
+                           int nops) {
+  /* b_kappa += sum_t lx_t * b_{j_t} in ONE column pass: the L-limb
+     accumulator stays in registers across all coefficients instead of a
+     load/store + overflow check per (j, column) pair — the per-call
+     row_addmul_we dominated BKZ's babai at ~5M calls per block-60 tour.
+     Exact integer sums commute, so applying the whole reduction batch
+     at once matches the sequential updates bit for bit. The overflow
+     check runs once per column; the conservative limb headroom (the
+     +130-bit sizing in native/__init__.py) keeps intermediate partial
+     sums far from the wrap point. */
+  int L = S->L, n = S->n;
+  uint64_t acc[MAXD];
+  for (int c = 0; c < n; c++) {
+    uint64_t *dst = row(S, kappa) + (size_t)c * L;
+    memcpy(acc, dst, (size_t)L * 8);
+    for (int t = 0; t < nops; t++) {
+      const uint64_t *src = row(S, ops[t].j) + (size_t)c * L;
+      i128 carry = 0;
+      int64_t x = ops[t].lx;
+      for (int i = 0; i < L; i++) {
+        i128 cur = (i128)(uint64_t)acc[i] +
+                   (i128)x * (i128)(uint64_t)src[i] + carry;
+        acc[i] = (uint64_t)cur;
+        carry = cur >> 64;
+      }
+    }
+    {
+      uint64_t top = acc[L - 1], sec = acc[L - 2];
+      if (!((top == 0 && (int64_t)sec >= 0) ||
+            (top == ~0ULL && (int64_t)sec < 0)))
+        return 1;
+    }
+    memcpy(dst, acc, (size_t)L * 8);
+  }
+  S->version++;
+  return 0;
+}
+
 static int babai(lll_state *S, int kappa, int min_col, int *status) {
   long max_expo = 0;
   int have_max = 0;
@@ -299,6 +343,8 @@ static int babai(lll_state *S, int kappa, int min_col, int *status) {
       have_max = 1;
     }
     double tr0 = lll_now_s();
+    red_op ops[MAXD];
+    int nops = 0;
     for (int j = min_col; j < kappa; j++) {
       babai_mu[j] = S->mu[(size_t)kappa * S->d + j];
       babai_expo[j] = S->row_expo[kappa] - S->row_expo[j];
@@ -321,7 +367,34 @@ static int babai(lll_state *S, int kappa, int min_col, int *status) {
       if (mu_rnd == 0.0) continue;
       for (int k = min_col; k < j; k++)
         babai_mu[k] -= mu_rnd * S->mu[(size_t)j * S->d + k];
+      /* int64-coefficient reductions with no scale shift batch into one
+         fused column pass below; shifted/huge coefficients (rare) and
+         transform-tracked runs keep the per-row path */
+      if (!S->u) {
+        int fe2;
+        double fm = frexp(-mu_rnd, &fe2);
+        int64_t lx = (int64_t)ldexp(fm, 53);
+        long e2 = (long)fe2 - 53 + e;
+        if (lx != 0) {
+          while (e2 < 0 && (lx & 1) == 0) { lx >>= 1; e2++; }
+          if (e2 < 0) { lx = (int64_t)llround(ldexp(-mu_rnd, (int)e)); e2 = 0; }
+        }
+        if (lx == 0) continue;
+        if (e2 == 0) {
+          ops[nops].j = j;
+          ops[nops].lx = lx;
+          nops++;
+          continue;
+        }
+      }
       if (row_addmul_we(S, kappa, j, mu_rnd, e)) { *status = OVERFLOW_FAILURE; return 0; }
+    }
+    if (nops) {
+      double tf0 = lll_now_s();
+      int ofl = bn_addmul_fused(S, kappa, ops, nops);
+      g_t_rowop += lll_now_s() - tf0;
+      g_rowops += nops;
+      if (ofl) { *status = OVERFLOW_FAILURE; return 0; }
     }
     g_t_red += lll_now_s() - tr0;
     /* refresh float state of row kappa */
