@@ -546,6 +546,29 @@ class TPUEnumerator:
                     subsols=host_subsols, start=(cx, ca, cpd, lh),
                     hard_cap=cap)
                 if m2 > self.max_device_levels:
+                    if m2 == lh:
+                        # no forward progress: this chunk's next level
+                        # alone would blow the cap, and re-pushing the
+                        # identical frontier would loop forever.  Force
+                        # progress: split the chunk, or (single root)
+                        # raise the cap up to a hard memory ceiling.
+                        if len(cpd) > 1:
+                            h = len(cpd) // 2
+                            stack.append((cx[:h], ca[:h], cpd[:h], lh))
+                            stack.append((cx[h:], ca[h:], cpd[h:], lh))
+                            continue
+                        cap2 = cap
+                        while m2 == lh and cap2 < (1 << 22):
+                            cap2 *= 4
+                            rx, ra, rpd, m2 = self._gen_roots(
+                                mut, rdiag, prune, cp0, bound, d, is_svp,
+                                dual=dual, subsols=host_subsols,
+                                start=(cx, ca, cpd, lh), hard_cap=cap2)
+                        if m2 == lh:
+                            raise MemoryError(
+                                "deep-tree chunk cannot advance: one "
+                                "subtree root expands past the host "
+                                "memory ceiling at a single level")
                     stack.append((rx, ra, rpd, m2))
                 else:
                     md = self._launch(mut, rdiag, prune, cp0, bound, md,

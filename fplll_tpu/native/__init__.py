@@ -138,9 +138,12 @@ def native_enumerate(mut: np.ndarray, rdiag: np.ndarray,
             best_x if res.found else None, res.sol_count, nodes, res.visited)
 
 
-# Scratch buffers for the native root expansion (calls are serialized by
-# the GIL; np.empty pages are only touched for rows actually produced).
+# Scratch buffers for the native root expansion (np.empty pages are only
+# touched for rows actually produced).  ctypes releases the GIL for the
+# duration of lib.enum_gen_roots, so concurrent host threads could race
+# on the shared buffers — the lock is held across the C call.
 _ROOTS_SCRATCH: dict = {}
+_ROOTS_LOCK = __import__("threading").Lock()
 
 
 def native_gen_roots(mut: np.ndarray, rdiag: np.ndarray,
@@ -156,13 +159,6 @@ def native_gen_roots(mut: np.ndarray, rdiag: np.ndarray,
         return None
     d = len(rdiag)
     key = (cap, nfix_max, bool(dual))
-    bufs = _ROOTS_SCRATCH.get(key)
-    if bufs is None:
-        bufs = (np.empty((cap, nfix_max)),
-                np.empty((cap, nfix_max)) if dual else None,
-                np.empty(cap))
-        _ROOTS_SCRATCH[key] = bufs
-    out_x, out_a, out_pd = bufs
     nodes = np.zeros(d, dtype=np.float64)
     mut = np.ascontiguousarray(mut, dtype=np.float64)
     rdiag = np.ascontiguousarray(rdiag, dtype=np.float64)
@@ -171,21 +167,31 @@ def native_gen_roots(mut: np.ndarray, rdiag: np.ndarray,
         np.ascontiguousarray(pruning, dtype=np.float64)
     m_real = ctypes.c_int(0)
     count = ctypes.c_long(0)
-    rc = lib.enum_gen_roots(
-        d, mut, rdiag,
-        pr.ctypes.data_as(ctypes.c_void_p) if pr is not None else None,
-        cp0, float(maxdist), int(is_svp), int(dual),
-        int(max_device_levels), int(target), int(cap), int(nfix_max),
-        out_x,
-        out_a.ctypes.data_as(ctypes.c_void_p) if out_a is not None else None,
-        out_pd, nodes, ctypes.byref(m_real), ctypes.byref(count))
-    if rc != 0:
-        return None
-    R, m = int(count.value), int(m_real.value)
-    nfix = d - m
-    xs = out_x[:R, :nfix].copy()
-    als = out_a[:R, :nfix].copy() if dual else xs
-    return xs, als, out_pd[:R].copy(), m, nodes
+    with _ROOTS_LOCK:
+        bufs = _ROOTS_SCRATCH.get(key)
+        if bufs is None:
+            bufs = (np.empty((cap, nfix_max)),
+                    np.empty((cap, nfix_max)) if dual else None,
+                    np.empty(cap))
+            _ROOTS_SCRATCH[key] = bufs
+        out_x, out_a, out_pd = bufs
+        rc = lib.enum_gen_roots(
+            d, mut, rdiag,
+            pr.ctypes.data_as(ctypes.c_void_p) if pr is not None else None,
+            cp0, float(maxdist), int(is_svp), int(dual),
+            int(max_device_levels), int(target), int(cap), int(nfix_max),
+            out_x,
+            out_a.ctypes.data_as(ctypes.c_void_p)
+            if out_a is not None else None,
+            out_pd, nodes, ctypes.byref(m_real), ctypes.byref(count))
+        if rc != 0:
+            return None
+        R, m = int(count.value), int(m_real.value)
+        nfix = d - m
+        xs = out_x[:R, :nfix].copy()
+        als = out_a[:R, :nfix].copy() if dual else xs
+        pd_out = out_pd[:R].copy()
+    return xs, als, pd_out, m, nodes
 
 
 # ---------------------------------------------------------------------------

@@ -147,12 +147,18 @@ static void mark_changed(bkz_ctx *B, int t) {
 static int row_addmul_exact(bkz_ctx *B, int i, int j, long x) {
   lll_state *S = &B->S;
   if (!x) return 1;
+  /* stage-then-commit (atomicity: see lll_core row_addmul_we_impl) — an
+     overflow must leave row i a valid lattice vector, because the tour
+     copies the partially reduced basis back to Python on failure */
+  uint64_t *tb = S->rowtmp;
+  memcpy(tb, row(S, i), (size_t)S->n * S->L * 8);
   for (int c = 0; c < S->n; c++)
-    if (bn_addmul_si(row(S, i) + (size_t)c * S->L,
+    if (bn_addmul_si(tb + (size_t)c * S->L,
                      row(S, j) + (size_t)c * S->L, x, S->L)) {
       B->status = OVERFLOW_FAILURE;
       return 0;
     }
+  memcpy(row(S, i), tb, (size_t)S->n * S->L * 8);
   mark_changed(B, i);
   return 1;
 }
@@ -384,6 +390,8 @@ static int rerandomize_block_c(bkz_ctx *B, int min_row, int max_row,
 }
 
 /* ---------------- solution insertion (bkz.cpp:128-272) ----------------- */
+/* Returns 1 = solution inserted, 0 = degenerate solution skipped (treat
+   as not found), -1 = failure (overflow). */
 static int svp_postprocessing_c(bkz_ctx *B, int kappa, int bs,
                                 const double *solution) {
   long sol[BKZ_MAXD];
@@ -394,6 +402,13 @@ static int svp_postprocessing_c(bkz_ctx *B, int kappa, int bs,
   }
   for (int i = bs - 1; i >= 0; i--)
     if (sol[i] != 0 && i_vector == -1 && labs(sol[i]) == 1) i_vector = i;
+  if (nz == 0 || (nz == 1 && i_vector == -1)) {
+    /* all-zero, or a single nonzero with |coef| > 1 (possible from
+       lround of f32 device output): the reference only debug-asserts
+       here (bkz.cpp:136) — a negative i_vector would index row
+       kappa - 1 out of bounds.  Treat as not found. */
+    return 0;
+  }
   if (nz == 1) {
     move_row_bkz(B, kappa + i_vector, kappa);
   } else if (i_vector != -1) {
@@ -444,7 +459,7 @@ static int svp_postprocessing_c(bkz_ctx *B, int kappa, int bs,
     }
     move_row_bkz(B, kappa + bs - 1, kappa);
   }
-  return 0;
+  return 1;
 }
 
 /* ---------------- window export + enumeration -------------------------- */
@@ -686,8 +701,9 @@ static int svp_reduction_c(bkz_ctx *B, int kappa, int bs,
                                 ncoef ? coefs : NULL, maxdist, sol, &dist);
       if (found < 0) return -1;
       if (found) {
-        if (svp_postprocessing_c(B, kappa, bs, sol) < 0) return -1;
-        rerandomize = 0;
+        int ins = svp_postprocessing_c(B, kappa, bs, sol);
+        if (ins < 0) return -1;
+        rerandomize = ins ? 0 : 1;
       } else {
         rerandomize = 1;
       }
@@ -768,6 +784,7 @@ int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
   S->row_expo = calloc((size_t)d, sizeof(long));
   S->valid = calloc((size_t)d, sizeof(int));
   S->tmp = malloc((size_t)L * 8);
+  S->rowtmp = malloc((size_t)(n + d) * L * 8);
   B.dtmp = malloc((size_t)mx * 8);
   B.btmp = malloc((size_t)mx * L * 8);
   int gmax = a->trial_batch_max > 0 ? a->trial_batch_max : 1;
@@ -779,8 +796,8 @@ int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
   B.dist_s = malloc((size_t)gmax * 8);
   int status = RED_SUCCESS;
   if (!S->bf || !S->gf || !S->mu || !S->r || !S->row_expo || !S->valid ||
-      !S->tmp || !B.dtmp || !B.btmp || !B.mut_s || !B.rdiag_s || !B.prune_s ||
-      !B.amax_s || !B.sol_s || !B.dist_s) {
+      !S->tmp || !S->rowtmp || !B.dtmp || !B.btmp || !B.mut_s ||
+      !B.rdiag_s || !B.prune_s || !B.amax_s || !B.sol_s || !B.dist_s) {
     status = OVERFLOW_FAILURE;
     goto done;
   }
@@ -811,6 +828,7 @@ done:
   free(S->row_expo);
   free(S->valid);
   free(S->tmp);
+  free(S->rowtmp);
   free(B.dtmp);
   free(B.btmp);
   free(B.mut_s);

@@ -42,8 +42,13 @@ int enum_run(int d,
   /* center partial sums cache, packed at stride d+1: the fixed
      MAXD-stride layout put every row 8KB apart, blowing the L1/L2
      working set ~100x at BKZ window sizes (d ~ 40-70) — in-tour
-     enumeration ran at half the standalone rate because of it */
-  static double cps_buf[(size_t)(MAXD + 1) * (MAXD + 1)];
+     enumeration ran at half the standalone rate because of it.
+     Heap-allocated per call (only (d+1)^2 doubles) so concurrent
+     enumerations in different host threads do not share state — the
+     reference's documented thread-safety contract is "distinct objects
+     may be reduced on different threads" (README.md:309-311), and
+     ctypes releases the GIL across this call. */
+  double *cps_buf;
 #define cps(i, j) cps_buf[(size_t)(i) * (size_t)(d + 1) + (size_t)(j)]
   double x[MAXD], dx[MAXD], ddx[MAXD], center[MAXD], alpha[MAXD];
   double partdist[MAXD + 1], bounds[MAXD];
@@ -52,6 +57,8 @@ int enum_run(int d,
   int k, i, j;
 
   if (d < 1 || d > MAXD) return -1;
+  cps_buf = malloc((size_t)(d + 1) * (size_t)(d + 1) * 8);
+  if (!cps_buf) return -1;
 
   for (i = 0; i < d; i++) {
     double c = target ? target[i] : 0.0;
@@ -166,8 +173,10 @@ int enum_run(int d,
   }
 
   res->maxdist = maxdist;
+  free(cps_buf);
   return 0;
 }
+#undef cps
 
 /* ------------------------------------------------------------------ */
 /* Layered top-of-tree expansion producing subtree roots for the      */
@@ -201,8 +210,13 @@ int enum_gen_roots(int d,
   double *ba = dual ? malloc((size_t)cap * stride * 8 * 2) : NULL;
   double *bpd = malloc((size_t)cap * 8 * 2);
   unsigned char *bzp = malloc((size_t)cap * 2);
-  if (!bx || !bpd || !bzp || (dual && !ba)) {
+  /* per-level interval scratch for the count-then-materialize pre-pass */
+  double *bc = malloc((size_t)cap * 8);
+  double *blo = malloc((size_t)cap * 8);
+  long *bcnt = malloc((size_t)cap * sizeof(long));
+  if (!bx || !bpd || !bzp || (dual && !ba) || !bc || !blo || !bcnt) {
     free(bx); free(ba); free(bpd); free(bzp);
+    free(bc); free(blo); free(bcnt);
     return -1;
   }
   double *x_in = bx, *x_out = bx + (size_t)cap * stride;
@@ -227,33 +241,44 @@ int enum_gen_roots(int d,
     }
     {
       double bnd = (prune ? prune[lvl] : 1.0) * A;
-      long Rn = 0;
+      long Rn = 0, total = 0;
+      /* pre-pass: size the whole level BEFORE materializing any child.
+         A level either expands completely or not at all — an earlier
+         mid-level "settle" dropped the unprocessed parents' subtrees,
+         making device enumeration silently incomplete (missed shortest
+         vectors).  The host oracle's cnt.sum() pre-check is the model
+         (enum/tpu.py:_gen_roots). */
       for (long r0 = 0; r0 < R; r0++) {
         const double *acc = dual ? a_in + (size_t)r0 * stride
                                  : x_in + (size_t)r0 * stride;
         double c = cp0[lvl];
-        for (int j = 0; j < nfix; j++) c -= acc[j] * mut[(size_t)lvl * d + (lvl + 1 + j)];
+        for (int j = 0; j < nfix; j++)
+          c -= acc[j] * mut[(size_t)lvl * d + (lvl + 1 + j)];
         double pd0 = pd_in[r0];
         double room = bnd - pd0;
         double w = room > 0.0 ? sqrt(room / rdiag[lvl]) : 0.0;
         double lo = ceil(c - w), hi = floor(c + w);
         if (zp_in[r0] && lo < 0.0) lo = 0.0;
         long cnt = hi >= lo ? (long)(hi - lo) + 1 : 0;
+        bc[r0] = c;
+        blo[r0] = lo;
+        bcnt[r0] = cnt;
+        total += cnt;
+      }
+      if (total > cap) {
+        if (m_cand <= max_device_levels) break; /* frontier is complete
+                                                   at this height */
+        rc = 1; /* too tall for the device, too wide for the cap */
+        goto out;
+      }
+      for (long r0 = 0; r0 < R; r0++) {
+        double c = bc[r0], pd0 = pd_in[r0];
+        long cnt = bcnt[r0];
         nodes_per_level[lvl] += (double)cnt;
         for (long t = 0; t < cnt; t++) {
-          double xv = lo + (double)t;
+          double xv = blo[r0] + (double)t;
           double al = xv - c;
           double pdc = pd0 + al * al * rdiag[lvl];
-          if (Rn >= cap) {
-            /* overfull: settle for the roots we have if the device can
-               start at this level, else fall back */
-            if (m_cand <= max_device_levels && Rn >= target / 4) {
-              R = Rn;
-              goto stop_here;
-            }
-            rc = 1;
-            goto out;
-          }
           double *xd = x_out + (size_t)Rn * stride;
           xd[0] = xv;
           memcpy(xd + 1, x_in + (size_t)r0 * stride, (size_t)nfix * 8);
@@ -280,18 +305,6 @@ int enum_gen_roots(int d,
     nfix++;
     lvl--;
     if (R == 0) break; /* bound prunes everything above the device tree */
-    continue;
-  stop_here:
-    /* children of this level live in the out buffers */
-    {
-      double *t;
-      t = x_in; x_in = x_out; x_out = t;
-      if (dual) { t = a_in; a_in = a_out; a_out = t; }
-      t = pd_in; pd_in = pd_out; pd_out = t;
-    }
-    nfix++;
-    lvl--;
-    break;
   }
   *m_real_out = lvl + 1;
   {
@@ -313,5 +326,8 @@ out:
   free(ba);
   free(bpd);
   free(bzp);
+  free(bc);
+  free(blo);
+  free(bcnt);
   return rc;
 }

@@ -28,9 +28,12 @@
 #define SIZE_RED_FAILURE_THRESH 5
 
 /* micro-profiling accumulators + clock (near-zero overhead; the BKZ TU
-   exposes the totals through bkz_prof) */
-static double g_t_ugr, g_t_red, g_t_bf, g_t_rowop;
-static long g_babai_calls, g_babai_iters, g_rowops;
+   exposes the totals through bkz_prof).  Thread-local so concurrent
+   reductions of distinct objects (the reference's documented contract,
+   README.md:309-311) do not race on the counters — ctypes releases the
+   GIL across lll_fast/bkz_tour_native. */
+static _Thread_local double g_t_ugr, g_t_red, g_t_bf, g_t_rowop;
+static _Thread_local long g_babai_calls, g_babai_iters, g_rowops;
 #include <time.h>
 static double lll_now_s(void) {
   struct timespec ts;
@@ -147,6 +150,7 @@ typedef struct {
   int *valid;       /* gso_valid_cols */
   int n_known_rows;
   uint64_t *tmp;    /* L limbs scratch */
+  uint64_t *rowtmp; /* (n + d) * L limbs: atomic row-update staging */
   double delta, eta;
   long n_swaps;
   long version;     /* bumped on every exact basis write (BKZ memos) */
@@ -245,17 +249,31 @@ static int row_addmul_we_impl(lll_state *S, int kappa, int j, double mu_rnd,
     while (e2 < 0 && (lx & 1) == 0) { lx >>= 1; e2++; }
     if (e2 < 0) { lx = (int64_t)llround(ldexp(v, (int)expo)); e2 = 0; }
   }
-  S->version++;
-  for (int c = 0; c < S->n; c++)
-    if (bn_addmul_si_2exp(row(S, kappa) + (size_t)c * S->L,
-                          row(S, j) + (size_t)c * S->L, lx, e2, S->L, S->tmp))
-      return 1;
-  if (S->u)
-    for (int c = 0; c < S->d; c++)
-      if (bn_addmul_si_2exp(urow(S, kappa) + (size_t)c * S->L,
-                            urow(S, j) + (size_t)c * S->L, lx, e2, S->L,
+  /* stage into scratch and commit only after every column (and the
+     transform row) passes the overflow check: a mid-row abort would
+     leave a row that is no longer a lattice vector, and failed runs
+     copy the partially reduced basis back to Python as valid state */
+  {
+    uint64_t *tb = S->rowtmp;
+    uint64_t *tu = S->rowtmp + (size_t)S->n * S->L;
+    memcpy(tb, row(S, kappa), (size_t)S->n * S->L * 8);
+    for (int c = 0; c < S->n; c++)
+      if (bn_addmul_si_2exp(tb + (size_t)c * S->L,
+                            row(S, j) + (size_t)c * S->L, lx, e2, S->L,
                             S->tmp))
         return 1;
+    if (S->u) {
+      memcpy(tu, urow(S, kappa), (size_t)S->d * S->L * 8);
+      for (int c = 0; c < S->d; c++)
+        if (bn_addmul_si_2exp(tu + (size_t)c * S->L,
+                              urow(S, j) + (size_t)c * S->L, lx, e2, S->L,
+                              S->tmp))
+          return 1;
+      memcpy(urow(S, kappa), tu, (size_t)S->d * S->L * 8);
+    }
+    memcpy(row(S, kappa), tb, (size_t)S->n * S->L * 8);
+  }
+  S->version++;
   return 0;
 }
 
@@ -277,8 +295,12 @@ static int bn_addmul_fused(lll_state *S, int kappa, const red_op *ops,
      sums far from the wrap point. */
   int L = S->L, n = S->n;
   uint64_t acc[MAXD];
+  /* stage all columns in rowtmp and commit in one pass afterwards, so a
+     column overflow leaves the row untouched (atomicity: see
+     row_addmul_we_impl) */
+  uint64_t *stage = S->rowtmp;
   for (int c = 0; c < n; c++) {
-    uint64_t *dst = row(S, kappa) + (size_t)c * L;
+    const uint64_t *dst = row(S, kappa) + (size_t)c * L;
     memcpy(acc, dst, (size_t)L * 8);
     for (int t = 0; t < nops; t++) {
       const uint64_t *src = row(S, ops[t].j) + (size_t)c * L;
@@ -297,8 +319,9 @@ static int bn_addmul_fused(lll_state *S, int kappa, const red_op *ops,
             (top == ~0ULL && (int64_t)sec < 0)))
         return 1;
     }
-    memcpy(dst, acc, (size_t)L * 8);
+    memcpy(stage + (size_t)c * L, acc, (size_t)L * 8);
   }
+  memcpy(row(S, kappa), stage, (size_t)n * L * 8);
   S->version++;
   return 0;
 }
@@ -479,11 +502,12 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
   S.row_expo = calloc((size_t)d, sizeof(long));
   S.valid = calloc((size_t)d, sizeof(int));
   S.tmp = malloc((size_t)L * 8);
+  S.rowtmp = malloc((size_t)(n + d) * L * 8);
   double *dtmp = malloc((size_t)(n > d ? n : d) * 8);
   uint64_t *btmp = malloc((size_t)(n > d ? n : d) * L * 8);
   int status = RED_SUCCESS;
   if (!S.bf || !S.gf || !S.mu || !S.r || !S.row_expo || !S.valid || !S.tmp ||
-      !dtmp || !btmp) { status = OVERFLOW_FAILURE; goto done; }
+      !S.rowtmp || !dtmp || !btmp) { status = OVERFLOW_FAILURE; goto done; }
   for (int i = 0; i < d; i++) update_bf(&S, i);
   for (int i = 0; i < (int)((size_t)d * d); i++) S.gf[i] = NAN;
   S.n_known_rows = 0;
@@ -537,6 +561,6 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
 done:
   if (n_swaps_out) *n_swaps_out = S.n_swaps;
   free(S.bf); free(S.gf); free(S.mu); free(S.r); free(S.row_expo);
-  free(S.valid); free(S.tmp); free(dtmp); free(btmp);
+  free(S.valid); free(S.tmp); free(S.rowtmp); free(dtmp); free(btmp);
   return status;
 }
