@@ -411,12 +411,16 @@ class BKZReduction:
             min_succ=par.min_success_probability,
             density=par.rerandomization_density,
             hybrid_budget=budget, min_device_dim=_MIN_TPU_DIM,
-            trial_batch_max=8, seed=RandGen.get().getrandbits(64),
+            trial_batch_max=int(os.environ.get("FPLLL_TPU_TRIAL_BATCH", "8")),
+            seed=RandGen.get().getrandbits(64),
             min_row=min_row, max_row=max_row, enum_cb=cb)
         if out is None:
             return None
         status, nodes, n_swaps, clean, changed = out
         self.nodes += int(nodes)
+        t = native_bkz_tour.last_timers
+        self.dev_nodes = getattr(self, "dev_nodes", 0) + int(t["dev_nodes"])
+        self.g_max = max(getattr(self, "g_max", 0), int(t["g_max"]))
         if changed:
             m.b.version += 1
             self._clean_lll = (-1, -1)

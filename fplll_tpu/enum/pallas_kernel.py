@@ -66,7 +66,7 @@ from ..jaxsetup import jax, jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_available", "_enum_run_pallas"]
+__all__ = ["pallas_available", "_enum_run_pallas", "_enum_run_pallas_grouped"]
 
 _INTERPRET = os.environ.get("FPLLL_TPU_PALLAS_INTERPRET", "0") == "1"
 _CHUNK = int(os.environ.get("FPLLL_TPU_PALLAS_CHUNK", "2048"))
@@ -135,7 +135,8 @@ _N_STATE = 12
 
 def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                        count_mode: bool, wide_scalars: bool = False,
-                       rq_nfixp: int = -1, rq_R: int = 0):
+                       rq_nfixp: int = -1, rq_R: int = 0,
+                       rq_grid: bool = False):
     """wide_scalars: A/steps outputs are (1, B) VMEM rows (broadcast per
     lane tile) instead of (1, 1) SMEM scalars — the lane-tiled grid path
     needs this because TPU lowering rejects (1, 1) blocks over a
@@ -149,7 +150,17 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
     lanes dead for most of the walk. Roots are sorted by pd ascending,
     so the first bound-dead root drains the whole remaining queue in
     O(1). Extra state rows ridx/bri attribute each lane's current root
-    and the root of its best solution."""
+    and the root of its best solution.
+
+    rq_grid runs the rq kernel as one cell of a grid over INDEPENDENT
+    window problems (the grouped-trial launch of the native BKZ loop:
+    G rerandomized trials enumerated in ONE kernel launch, the
+    many-walkers-one-launch analogue of enum-parallel/enumeration.h:
+    412-505). Per-problem quantities (Mx, mut_fix, cp0, root queue
+    segment, bound A, cursor, m_real) are selected by program_id via
+    BlockSpecs; scalar carries (A/steps/cursor) ride (1, B) VMEM rows
+    instead of (1, 1) SMEM blocks, which TPU lowering rejects over a
+    (grid, 1) array."""
     rq = rq_nfixp >= 0
     n_state = _N_STATE + (2 if rq else 0)
 
@@ -165,6 +176,12 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             cur_s = refs[-1]      # SMEM cursor (mutable inside pl.when)
             refs = refs[5:-3]
             cur_s[0, 0] = cur_ref[0, 0]
+        if rq and rq_grid:
+            # this cell's segment of the stacked per-problem root queues
+            _rows_pg = ((rq_nfixp + 1 + 7) // 8) * 8
+            rq_base = pl.program_id(0) * jnp.int32((rq_R // 128) * _rows_pg)
+        else:
+            rq_base = jnp.int32(0)
         ins = refs[:n_state]
         (x_o, pd_o, cs_o, bdev_o, k_o, act_o, xk_o, ck_o, pdk_o, rk_o,
          prk_o, bdist_o) = refs[n_state:n_state + _N_STATE]
@@ -408,7 +425,7 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                 g = cur_now // jnp.int32(128)
                 l = cur_now - g * jnp.int32(128)
                 copy = pltpu.make_async_copy(
-                    rootsP_ref.at[pl.ds(g * rows_pg, rows_pg), :],
+                    rootsP_ref.at[pl.ds(rq_base + g * rows_pg, rows_pg), :],
                     roots_vmem_ref, roots_sem_ref)
                 copy.start()
                 copy.wait()
@@ -512,7 +529,7 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                 g2 = rc // jnp.int32(128)
                 l2 = rc - g2 * jnp.int32(128)
                 copy2 = pltpu.make_async_copy(
-                    rootsP_ref.at[pl.ds(g2 * rows_pg, rows_pg), :],
+                    rootsP_ref.at[pl.ds(rq_base + g2 * rows_pg, rows_pg), :],
                     roots_vmem_ref, roots_sem_ref)
                 copy2.start()
                 copy2.wait()
@@ -585,21 +602,17 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                      jnp.int32(0)) | (cur_s[0, 0] < jnp.int32(rq_R))
             return (i + jnp.int32(1), alive, A)
 
+        def cond(carry):
+            i, alive, _ = carry
+            return (i < jnp.int32(chunk)) & alive
+
+        i_fin, _, A_fin = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
         if rq:
-            def cond(carry):
-                i, alive, _ = carry
-                return (i < jnp.int32(chunk)) & alive
-
-            i_fin, _, A_fin = jax.lax.while_loop(
-                cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
-            cur_o[0, 0] = cur_s[0, 0]
-        else:
-            def cond(carry):
-                i, alive, _ = carry
-                return (i < jnp.int32(chunk)) & alive
-
-            i_fin, _, A_fin = jax.lax.while_loop(
-                cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
+            if wide_scalars:
+                cur_o[0, :] = jnp.full((B,), cur_s[0, 0], _I)
+            else:
+                cur_o[0, 0] = cur_s[0, 0]
         if wide_scalars:
             A_o[0, :] = jnp.full((B,), A_fin, _F)
             steps_o[0, :] = jnp.full((B,), i_fin, _I)
@@ -653,6 +666,153 @@ def _chunk_call_rq(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs, bdev, k,
         interpret=_INTERPRET,
     )(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs, bdev, k, act, xk, ck,
       pdk, rk, prk, bdist, ridx, bri)
+
+
+@partial(jax.jit, static_argnames=("G", "m", "B", "chunk", "is_svp",
+                                   "nfixp", "R"))
+def _chunk_call_rq_grouped(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs,
+                           bdev, k, act, xk, ck, pdk, rk, prk, bdist, ridx,
+                           bri, G: int, m: int, B: int, chunk: int,
+                           is_svp: bool, nfixp: int, R: int):
+    """One VMEM-resident chunk over a grid of G INDEPENDENT window
+    problems (grouped-trial launch), each cell = the rq kernel on its
+    own problem: Mx/MxF/cp0C stacked along rows, lane state stacked
+    along lanes ((m, G*B) with columns [g*B, (g+1)*B) = problem g), the
+    packed root queues stacked in HBM and offset by program_id.  Cells
+    run sequentially on the core — the win is ONE launch and zero host
+    round-trips between trials, not intra-launch parallelism."""
+    n_state = _N_STATE + 2
+    rows_pg = ((nfixp + 1 + 7) // 8) * 8
+    kernel = _make_chunk_kernel(m, B, chunk, is_svp, False,
+                                wide_scalars=True, rq_nfixp=nfixp, rq_R=R,
+                                rq_grid=True)
+    GB = G * B
+
+    def lane_i(g):
+        return (jnp.int32(0), g)
+
+    def row_g(g):
+        return (g, jnp.int32(0))
+
+    vmem_m = pl.BlockSpec((m, B), lane_i, memory_space=pltpu.VMEM)
+    vmem_1f = pl.BlockSpec((1, B), lane_i, memory_space=pltpu.VMEM)
+    vmem_Mx = pl.BlockSpec((m + _XR, m), row_g, memory_space=pltpu.VMEM)
+    vmem_MxF = pl.BlockSpec((m, nfixp), row_g, memory_space=pltpu.VMEM)
+    vmem_cp0 = pl.BlockSpec((m, 1), row_g, memory_space=pltpu.VMEM)
+    state_specs = [vmem_m] * 4 + [vmem_1f] * 10
+    mGB = jax.ShapeDtypeStruct((m, GB), _F)
+    oGBf = jax.ShapeDtypeStruct((1, GB), _F)
+    oGBi = jax.ShapeDtypeStruct((1, GB), _I)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        scratch_shapes=[pltpu.VMEM((rows_pg, 128), _F),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SMEM((1, 1), _I)],
+        in_specs=[vmem_Mx, vmem_1f, vmem_1f, vmem_1f, vmem_MxF, vmem_cp0,
+                  pl.BlockSpec(memory_space=pltpu.ANY)] + state_specs,
+        out_shape=(mGB, mGB, mGB, mGB, oGBi, oGBi, oGBf, oGBf, oGBf, oGBf,
+                   oGBf, oGBf, oGBi, oGBi,
+                   oGBf,                                 # A (per problem)
+                   mGB,                                  # nodes
+                   oGBf, oGBf,                           # leaf0/sol
+                   oGBi,                                 # steps
+                   oGBi),                                # cursor
+        out_specs=tuple(state_specs) + (vmem_1f, vmem_m, vmem_1f, vmem_1f,
+                                        vmem_1f, vmem_1f),
+        input_output_aliases={i + 7: i for i in range(n_state)},
+        interpret=_INTERPRET,
+    )(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs, bdev, k, act, xk, ck,
+      pdk, rk, prk, bdist, ridx, bri)
+
+
+@partial(jax.jit, static_argnames=("G", "m", "B", "R", "nfixp", "is_svp",
+                                   "chunk", "max_steps"))
+def _enum_run_pallas_grouped(Mx_all, MxF_all, cp0C_all, rootsP_all, A0s,
+                             mrs, G: int, m: int, B: int, R: int,
+                             nfixp: int, is_svp: bool = True,
+                             chunk: int = _CHUNK, max_steps: int = 1 << 30):
+    """Enumerate G independent window problems in ONE launch sequence
+    (the device side of the native BKZ grouped-trial seam).  All lanes
+    start DEAD with per-problem cursors at 0: the in-kernel root queue
+    fills them (one pop per step), which avoids shipping the unpacked
+    per-problem root arrays to the device twice.  Returns per-problem
+    best distance / device-level coordinates / root coordinates and the
+    per-level node totals."""
+    GB = G * B
+    rows_pg = ((nfixp + 1 + 7) // 8) * 8
+    st = {
+        "x": jnp.zeros((m, GB), _F),
+        "pd": jnp.zeros((m, GB), _F),
+        "cs": jnp.zeros((m, GB), _F),
+        "bdev": jnp.zeros((m, GB), _F),
+        "k": jnp.full((1, GB), m - 1, dtype=_I),
+        "act": jnp.zeros((1, GB), _I),
+        "xk": jnp.zeros((1, GB), _F),
+        "ck": jnp.zeros((1, GB), _F),
+        "pdk": jnp.zeros((1, GB), _F),
+        "rk": jnp.ones((1, GB), _F),
+        "prk": jnp.ones((1, GB), _F),
+        "bdist": jnp.full((1, GB), jnp.inf, dtype=_F),
+        "ridx": jnp.zeros((1, GB), _I),
+        "bri": jnp.zeros((1, GB), _I),
+        "A": jnp.asarray(A0s, _F).reshape(1, GB),
+        "cur": jnp.zeros((1, GB), _I),
+        "steps": jnp.asarray(0, dtype=jnp.int64),
+        "nodes": jnp.zeros((m,), dtype=jnp.float64),
+        "sol_count": jnp.zeros((), dtype=jnp.float64),
+    }
+    mrs_r = jnp.asarray(mrs, _I).reshape(1, GB)
+
+    def body(s):
+        (x, pd, cs, bdev, k, act, xk, ck, pdk, rk, prk, bdist, ridx, bri,
+         A, nodes_d, leaf0, sol_d, steps_d, cur) = _chunk_call_rq_grouped(
+            Mx_all, s["A"], s["cur"], mrs_r, MxF_all, cp0C_all, rootsP_all,
+            s["x"], s["pd"], s["cs"], s["bdev"], s["k"], s["act"], s["xk"],
+            s["ck"], s["pdk"], s["rk"], s["prk"], s["bdist"], s["ridx"],
+            s["bri"], G=G, m=m, B=B, chunk=chunk, is_svp=True, nfixp=nfixp,
+            R=R)
+        s = dict(s)
+        s.update(x=x, pd=pd, cs=cs, bdev=bdev, k=k, act=act, xk=xk, ck=ck,
+                 pdk=pdk, rk=rk, prk=prk, bdist=bdist, ridx=ridx, bri=bri,
+                 A=A, cur=cur)
+        nsum = jnp.sum(nodes_d, axis=1).astype(jnp.float64)
+        nsum = nsum.at[0].add(jnp.sum(leaf0.astype(jnp.float64)))
+        s["nodes"] = s["nodes"] + nsum
+        s["sol_count"] = s["sol_count"] + jnp.sum(sol_d.astype(jnp.float64))
+        s["steps"] = s["steps"] + jnp.max(steps_d).astype(jnp.int64)
+        return s
+
+    def cond(s):
+        return (jnp.any(s["act"] != 0) | jnp.any(s["cur"] < R)) & \
+            (s["steps"] < max_steps)
+
+    out = jax.lax.while_loop(cond, body, st)
+    bd = jnp.where(jnp.isfinite(out["bdist"][0, :]), out["bdist"][0, :],
+                   jnp.inf).reshape(G, B)
+    lane = jnp.argmin(bd, axis=1)                       # (G,)
+    cols = jnp.arange(G) * B + lane
+    dist_g = bd[jnp.arange(G), lane]
+    dev_g = out["bdev"][:, cols].T                      # (G, m)
+    bri_g = out["bri"][0, cols]                         # (G,)
+    # unpack the winning roots from the packed queue: root ri of problem
+    # g lives at rows [g*(R//128)*rows_pg + (ri//128)*rows_pg ... +nfixp),
+    # column ri % 128
+    base = jnp.arange(G) * ((R // 128) * rows_pg) + \
+        (bri_g // 128) * rows_pg
+    lanecol = bri_g % 128
+    root_g = rootsP_all[base[:, None] + jnp.arange(nfixp)[None, :],
+                        lanecol[:, None]]               # (G, nfixp)
+    return {
+        "dist": dist_g,
+        "dev": dev_g,
+        "root": root_g,
+        "nodes": out["nodes"],
+        "steps": out["steps"],
+        "A": out["A"][0, :].reshape(G, B)[:, 0],
+    }
 
 
 @partial(jax.jit, static_argnames=("m", "B", "chunk", "is_svp",

@@ -942,6 +942,143 @@ def tpu_external_enumerator(gso, evaluator, first, last, fmaxdist,
         total_nodes
 
 
+def _pack_Mx_np(mut_pad, rdiag_pad, prune_pad, m: int) -> np.ndarray:
+    """Host-side build of the Pallas kernel's fused matmul operand
+    (mirror of the in-jit construction in pallas_kernel._enum_run_pallas:
+    mu rows + rdiag/prune + their shift-down-by-one + superdiagonal)."""
+    Mx = np.zeros((m + 8, m), np.float32)
+    Mx[:m] = np.triu(mut_pad, 1)
+    Mx[m] = rdiag_pad
+    Mx[m + 1] = prune_pad
+    Mx[m + 2] = np.concatenate([rdiag_pad[:1], rdiag_pad[:-1]])
+    Mx[m + 3] = np.concatenate([prune_pad[:1], prune_pad[:-1]])
+    Mx[m + 4, 1:] = np.diagonal(mut_pad, offset=1)
+    return Mx
+
+
+def _grouped_device_windows(muts, rdiags, prunes, maxdists):
+    """All-G-in-ONE-launch path for grouped rerandomized trials: each
+    trial's root queue is generated on the host (native expansion), the
+    per-trial problems are stacked, and the grid-of-problems Pallas
+    kernel (pallas_kernel._enum_run_pallas_grouped) walks every trial's
+    tree in a single launch sequence — the many-walkers analogue of
+    /root/reference/fplll/enum-parallel/enumeration.h:412-505, with the
+    launch overhead amortized over all G trials.
+
+    Returns (dists, sols, total_nodes) or None to decline (caller falls
+    back to the per-trial loop)."""
+    import os
+
+    from .pallas_kernel import (_enum_run_pallas_grouped, pallas_available,
+                                pallas_tile)
+
+    G, d, _ = muts.shape
+    B = int(os.environ.get("FPLLL_TPU_GROUP_BATCH", "1024"))
+    m = ((d + 7) // 8) * 8
+    if m > 128 or not (pallas_available() and pallas_tile(m, B) == B):
+        return None
+    factor = int(os.environ.get("FPLLL_TPU_GROUP_ROOT_FACTOR", "64"))
+    slack = 1.0 + 1e-5                 # f32 bound slack (TPUEnumerator)
+    cp0 = np.zeros(d)
+    per_group = []
+    total_nodes = 0.0
+    nfix_max, R_max = 1, 128
+    for g in range(G):
+        enum = TPUEnumerator(batch=B, target_root_factor=factor,
+                             dtype=jnp.float32)
+        enum.nodes = np.zeros(d, dtype=np.int64)
+        A_g = float(maxdists[g]) * slack
+        rx, _, rpd, m_real = enum._gen_roots(
+            np.asarray(muts[g], np.float64), np.asarray(rdiags[g],
+                                                        np.float64),
+            np.asarray(prunes[g], np.float64), cp0, A_g, d, True)
+        if m_real > d:
+            return None
+        order = np.argsort(rpd)
+        rx, rpd = rx[order], rpd[order]
+        total_nodes += float(enum.nodes.sum())
+        per_group.append((rx, rpd, m_real, A_g))
+        nfix_max = max(nfix_max, d - m_real)
+        R_max = max(R_max, len(rpd))
+    # dummy problems pad G to a power-of-two bucket so the grouped kernel
+    # compiles once per geometry, not once per trial count
+    G_pad = 2
+    while G_pad < G:
+        G_pad *= 2
+    nfixp = 8
+    while nfixp < nfix_max:
+        nfixp *= 2
+    # pin the queue length to the target bucket so launch geometry (and
+    # hence the compiled kernel) stays stable across windows of one tour
+    R_pad = 1024
+    while R_pad < max(R_max, factor * B):
+        R_pad *= 2
+    rows_pg = ((nfixp + 1 + 7) // 8) * 8
+    n_pg = (R_pad // 128) * rows_pg
+    Mx_all = np.zeros((G_pad * (m + 8), m), np.float32)
+    MxF_all = np.zeros((G_pad * m, nfixp), np.float32)
+    cp0C_all = np.zeros((G_pad * m, 1), np.float32)
+    rootsP_all = np.zeros((G_pad * n_pg, 128), np.float32)
+    A0s = np.full((G_pad, B), 1.0, np.float32)
+    mrs = np.full((G_pad, B), m, np.int32)
+    # sentinel pd for padded queue slots and dummy problems: a bound-dead
+    # root drains the cursor in O(1) (see the rq packing note in
+    # _enum_run_pallas), so dummy problems cost one pop each
+    rootsP_all.reshape(G_pad, R_pad // 128, rows_pg, 128)[:, :, nfixp, :] \
+        = 1e30
+    for g in range(G):
+        rx, rpd, m_real, A_g = per_group[g]
+        nfix = d - m_real
+        mut_pad = np.zeros((m, m))
+        mut_pad[:m_real, :m_real] = muts[g][:m_real, :m_real]
+        rdiag_pad = np.full(m, 1e30)
+        rdiag_pad[:m_real] = rdiags[g][:m_real]
+        prune_pad = np.ones(m)
+        prune_pad[:m_real] = prunes[g][:m_real]
+        Mx_all[g * (m + 8):(g + 1) * (m + 8)] = _pack_Mx_np(
+            mut_pad, rdiag_pad, prune_pad, m)
+        if nfix:
+            MxF_all[g * m:g * m + m_real, :nfix] = muts[g][:m_real,
+                                                           m_real:d]
+        R_live = len(rpd)
+        rxp = np.zeros((R_pad, nfixp), np.float32)
+        pdp = np.full(R_pad, 1e30, np.float32)
+        if R_live:
+            rxp[:R_live, :nfix] = rx
+            pdp[:R_live] = np.where(np.isfinite(rpd), rpd,
+                                    1e30).astype(np.float32)
+        P = np.concatenate(
+            [rxp, pdp[:, None],
+             np.zeros((R_pad, rows_pg - (nfixp + 1)), np.float32)], axis=1)
+        P = P.reshape(R_pad // 128, 128, rows_pg).transpose(0, 2, 1)
+        rootsP_all[g * n_pg:(g + 1) * n_pg] = P.reshape(n_pg, 128)
+        A0s[g, :] = A_g
+        mrs[g, :] = m_real
+    out = _enum_run_pallas_grouped(
+        jnp.asarray(Mx_all), jnp.asarray(MxF_all), jnp.asarray(cp0C_all),
+        jnp.asarray(rootsP_all), jnp.asarray(A0s.reshape(1, -1)),
+        jnp.asarray(mrs.reshape(1, -1)), G=G_pad, m=m, B=B, R=R_pad,
+        nfixp=nfixp)
+    out = jax.device_get(out)
+    dists = np.full(G, np.inf)
+    sols = np.zeros((G, d))
+    # per-level counters include one virtual-level walk per popped root
+    # (levels m_real..m-1); the ~R*G overcount is < 0.1% of any tree that
+    # reaches this path
+    total_nodes += float(np.asarray(out["nodes"]).sum())
+    for g in range(G):
+        dist = float(out["dist"][g])
+        if not np.isfinite(dist):
+            continue
+        m_real = per_group[g][2]
+        nfix = d - m_real
+        full = np.concatenate([np.asarray(out["dev"][g][:m_real]),
+                               np.asarray(out["root"][g][:nfix])])
+        dists[g] = dist
+        sols[g, :d] = full
+    return dists, sols, total_nodes
+
+
 def device_enumerate_windows(muts, rdiags, prunes, maxdists):
     """Enumerate G independent SVP window problems on the device — the
     escalation target of the native BKZ loop (bkz_core.c window_enum_c).
@@ -949,6 +1086,10 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
     muts: (G, m, m) transposed-upper mu, rdiags/prunes: (G, m), maxdists:
     (G,), all in the caller's normalized scale. Returns (dists, sols,
     total_nodes) with dists[g] = inf when trial g found nothing.
+
+    G > 1 (grouped rerandomized trials) runs ALL problems in one kernel
+    launch when the Pallas grid path is available; otherwise each trial
+    runs through the single-problem driver below.
 
     Mirrors the facade's policies (tpu_external_enumerator): f32 tree with
     slack + exact-int postprocessing upstream, GH iterative deepening for
@@ -961,6 +1102,11 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
     prunes = np.asarray(prunes, dtype=np.float64)
     maxdists = np.asarray(maxdists, dtype=np.float64)
     G, m, _ = muts.shape
+    if G > 1 and __import__("os").environ.get(
+            "FPLLL_TPU_GROUPED_LAUNCH", "1") != "0":
+        out = _grouped_device_windows(muts, rdiags, prunes, maxdists)
+        if out is not None:
+            return out
     dists = np.full(G, np.inf)
     sols = np.zeros((G, m))
     total_nodes = 0.0
@@ -973,8 +1119,10 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
                                        float(maxdists[g])))
         # measured on pruned block-50/60 windows: deeper splitting (more,
         # smaller subtree roots) shortens the low-utilization tail where
-        # a handful of giant subtrees keep most lanes idle
-        enum.target_root_factor = max(enum.target_root_factor, 128)
+        # a handful of giant subtrees keep most lanes idle (the sharded
+        # mesh driver splits per-device internally and has no such knob)
+        if hasattr(enum, "target_root_factor"):
+            enum.target_root_factor = max(enum.target_root_factor, 128)
         maxdist = float(maxdists[g])
         gh2 = math.exp(float(np.mean(np.log(rdiags[g]))) -
                        2.0 * (m / 2.0 * math.log(math.pi) -

@@ -416,6 +416,8 @@ class BkzArgs(ctypes.Structure):
         ("t_misc_out", ctypes.c_double),
         ("t_babai_out", ctypes.c_double),
         ("t_move_out", ctypes.c_double),
+        ("dev_nodes_out", ctypes.c_double),
+        ("g_max_out", ctypes.c_int),
     ]
 
 
@@ -551,7 +553,8 @@ def native_bkz_tour(b, pack: dict, *, lll_delta: float, lll_eta: float,
     native_bkz_tour.last_timers = {
         "enum_s": float(a.t_enum_out), "device_s": float(a.t_dev_out),
         "lll_s": float(a.t_lll_out), "misc_s": float(a.t_misc_out),
-        "babai_s": float(a.t_babai_out), "move_s": float(a.t_move_out)}
+        "babai_s": float(a.t_babai_out), "move_s": float(a.t_move_out),
+        "dev_nodes": float(a.dev_nodes_out), "g_max": int(a.g_max_out)}
     return (int(status), float(a.nodes_out), int(a.n_swaps_out),
             int(a.clean_out), changed)
 

@@ -28,6 +28,7 @@
 #include "enum_core.c"
 #undef MAXD
 
+#include <stdio.h>
 #include <time.h>
 
 static double now_s(void) {
@@ -88,6 +89,8 @@ typedef struct {
   double t_misc_out;   /* export + radius + insertion bookkeeping */
   double t_babai_out;  /* share of t_lll: lazy size reduction */
   double t_move_out;   /* share of t_lll: row moves/swaps */
+  double dev_nodes_out; /* share of nodes_out enumerated by the device */
+  int g_max_out;        /* largest grouped-trial launch this tour */
 } bkz_args;
 
 typedef struct {
@@ -104,6 +107,7 @@ typedef struct {
   uint64_t rng;
   double nodes;
   int status; /* sticky RED_* / OVERFLOW / -2 cb error */
+  long fault_after, windows_done; /* test-only fault injection knob */
   double *dtmp;
   uint64_t *btmp;
   /* shared scratch for window exports (no recursion while live) */
@@ -573,6 +577,7 @@ static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
       return -1;
     }
     B->nodes += dnodes;
+    B->a->dev_nodes_out += dnodes;
     if (isfinite(ddist)) {
       memcpy(sol, B->sol_s, (size_t)bs * 8);
       *dist_out = ddist;
@@ -620,6 +625,7 @@ static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
       return -1;
     }
     B->nodes += dnodes;
+    B->a->dev_nodes_out += dnodes;
     if (isfinite(ddist) && (!er.found || ddist <= er.best_dist)) {
       memcpy(sol, B->sol_s, (size_t)bs * 8);
       *dist_out = ddist;
@@ -636,6 +642,146 @@ static int window_enum_c(bkz_ctx *B, int bs, const double *mut,
 
 /* ---------------- svp_reduction + tours (bkz.cpp:274-441) -------------- */
 static int tour_c(bkz_ctx *B, const bkz_par *par, int min_row, int max_row);
+
+/* Restore basis rows [0, nr) from a limb snapshot; only rows that
+   actually differ get the (GSO-invalidating) change bookkeeping, so a
+   restore that touches just the window keeps the reduced prefix memos
+   alive. */
+static void restore_rows_c(bkz_ctx *B, const uint64_t *save, int nr) {
+  lll_state *S = &B->S;
+  size_t rowsz = (size_t)S->n * S->L;
+  for (int t = 0; t < nr; t++) {
+    uint64_t *dst = row(S, t);
+    const uint64_t *src = save + (size_t)t * rowsz;
+    if (memcmp(dst, src, rowsz * 8) != 0) {
+      memcpy(dst, src, rowsz * 8);
+      mark_changed(B, t);
+    }
+  }
+}
+
+static int svp_preprocessing_c(bkz_ctx *B, int kappa, int bs,
+                               const bkz_par *par);
+
+/* Grouped rerandomized trials: ONE device launch enumerating k
+ * independent retrials of the window.  The reference's retrial loop
+ * (bkz.cpp:274-358) runs trials strictly sequentially because each
+ * rerandomization mutates the basis; but the trials are independent by
+ * construction, and the expected trial count to spend the success
+ * budget is known up front (remaining * (1-p)^k <= 1 - min_success).
+ * Generating all k rerandomized+preprocessed variants first and
+ * enumerating them as a G=k callback amortizes the device launch
+ * overhead k-fold and drops the device crossover accordingly — the
+ * lockstep analogue of enumlib's many subtree walkers sharing one
+ * search (/root/reference/fplll/enum-parallel/enumeration.h:412-505).
+ *
+ * Returns 0 = done (remaining/rerandomize updated, best trial's basis
+ * rolled in and its solution inserted), 1 = declined (caller runs the
+ * sequential trial), -1 = failure. */
+static int grouped_trials_c(bkz_ctx *B, int kappa, int bs,
+                            const bkz_par *par, int k, double *remaining,
+                            int *rerandomize) {
+  lll_state *S = &B->S;
+  int nr = kappa + bs;
+  size_t rowsz = (size_t)S->n * S->L;
+  size_t savesz = (size_t)nr * rowsz;
+  double expect_g[64];
+  if (k > 64) k = 64;
+  if ((double)savesz * 8.0 * (double)(k + 1) > 5.12e8) return 1;
+  /* per-trial exports live OUTSIDE the shared window scratch: the
+     preprocessing recursion between trials re-enters window_enum_c and
+     would clobber mut_s/prune_s slots */
+  size_t per = (size_t)bs * bs + 3 * (size_t)bs + 2;
+  double *gm = malloc((size_t)k * per * 8);
+  uint64_t *snap = malloc(savesz * 8 * (size_t)(k + 1));
+  if (!gm || !snap) {
+    free(gm);
+    free(snap);
+    return 1;
+  }
+  double *g_mut = gm;                       /* k * bs * bs */
+  double *g_rd = g_mut + (size_t)k * bs * bs; /* k * bs */
+  double *g_pr = g_rd + (size_t)k * bs;       /* k * bs */
+  double *g_sol = g_pr + (size_t)k * bs;      /* k * bs */
+  double *g_amax = g_sol + (size_t)k * bs;    /* k */
+  double *g_dist = g_amax + k;                /* k */
+  uint64_t *trials = snap + savesz;
+  memcpy(snap, S->b, savesz * 8);
+  for (int g = 0; g < k; g++) {
+    if (!rerandomize_block_c(B, kappa + 1, kappa + bs, par->density))
+      goto fail;
+    if (svp_preprocessing_c(B, kappa, bs, par) < 0) goto fail;
+    for (int i = kappa; i < kappa + bs; i++)
+      if (!update_gso_row(S, i, i)) {
+        B->status = RED_GSO_FAILURE;
+        goto fail;
+      }
+    {
+      double log_rd;
+      double *rd = g_rd + (size_t)g * bs;
+      if (!export_window(B, kappa, bs, g_mut + (size_t)g * bs * bs, rd,
+                         &log_rd))
+        goto fail;
+      double maxdist = B->a->radius_delta * rd[0];
+      double tgh = exp(lgamma(bs / 2.0 + 1.0) * 2.0 / bs) / M_PI;
+      if ((par->flags & BKZF_GH_BND) && bs > 30) {
+        double f = tgh * par->gh_factor * exp(log_rd);
+        if (f < maxdist) maxdist = f;
+      }
+      double gh1 = tgh * exp(log_rd);
+      if (rd[0] < gh1) gh1 = rd[0];
+      const double *coefs;
+      int ncoef;
+      double expect;
+      select_pruning(B, bs, rd[0] / gh1, &coefs, &ncoef, &expect);
+      double *pr = g_pr + (size_t)g * bs;
+      for (int i = 0; i < bs; i++) pr[i] = ncoef ? coefs[i] : 1.0;
+      g_amax[g] = maxdist;
+      expect_g[g] = expect;
+    }
+    memcpy(trials + (size_t)g * savesz, S->b, savesz * 8);
+    if (g < k - 1) restore_rows_c(B, snap, nr);
+  }
+  {
+    double dnodes = 0.0;
+    for (int g = 0; g < k; g++) g_dist[g] = INFINITY;
+    double t0 = now_s();
+    int rc = B->cb(k, bs, g_mut, g_rd, g_pr, g_amax, g_sol, g_dist,
+                   &dnodes);
+    B->a->t_dev_out += now_s() - t0;
+    if (rc) {
+      B->status = -2;
+      goto fail;
+    }
+    B->nodes += dnodes;
+    B->a->dev_nodes_out += dnodes;
+    if (k > B->a->g_max_out) B->a->g_max_out = k;
+    int gb = -1;
+    for (int g = 0; g < k; g++)
+      if (isfinite(g_dist[g]) && (gb < 0 || g_dist[g] < g_dist[gb]))
+        gb = g;
+    if (gb >= 0) {
+      /* roll the winning trial's rerandomization+preprocessing into the
+         basis and insert its solution; losing trials are discarded */
+      if (gb != k - 1) restore_rows_c(B, trials + (size_t)gb * savesz, nr);
+      int ins = svp_postprocessing_c(B, kappa, bs,
+                                     g_sol + (size_t)gb * bs);
+      if (ins < 0) goto fail;
+      *rerandomize = ins ? 0 : 1;
+    } else {
+      *rerandomize = 1; /* the last trial's rerandomization stays, as in
+                           the sequential loop */
+    }
+    for (int g = 0; g < k; g++) *remaining *= (1.0 - expect_g[g]);
+  }
+  free(gm);
+  free(snap);
+  return 0;
+fail:
+  free(gm);
+  free(snap);
+  return -1;
+}
 
 static int svp_preprocessing_c(bkz_ctx *B, int kappa, int bs,
                                const bkz_par *par) {
@@ -659,6 +805,13 @@ static int svp_reduction_c(bkz_ctx *B, int kappa, int bs,
     B->status = RED_LLL_FAILURE;
     return -1;
   }
+  if (B->fault_after > 0 && ++B->windows_done >= B->fault_after) {
+    /* test-only fault injection (FPLLL_TPU_BKZ_FAULT): abort the native
+       tour mid-way with the basis holding valid partial progress, so the
+       Python redo path can be exercised deterministically */
+    B->status = RED_LLL_FAILURE;
+    return -1;
+  }
   if (!lll_in_state(B, first + 1, 1)) return -1;
   if (!update_gso_row(S, first, first)) {
     B->status = RED_GSO_FAILURE;
@@ -668,10 +821,36 @@ static int svp_reduction_c(bkz_ctx *B, int kappa, int bs,
   long old_e = 2 * S->row_expo[first];
   int rerandomize = 0;
   double remaining = 1.0;
+  double last_est = -1.0, last_expect = 1.0;
   while (remaining > 1.0 - par->min_succ) {
-    if (rerandomize)
+    if (rerandomize) {
+      /* retrial: if the remaining trials would each price past the
+         device crossover as a group, launch them all at once */
+      if (B->cb && bs >= B->a->min_device_dim && B->a->hybrid_budget > 0 &&
+          B->a->trial_batch_max >= 2 && last_est > 0.0 &&
+          last_expect > 1e-9 && last_expect < 0.999) {
+        double lg = log(1.0 - last_expect);
+        double tgt = 1.0 - par->min_succ;
+        int k = (int)ceil(log(tgt / remaining) / lg);
+        if (k < 1) k = 1;
+        if (k > B->a->trial_batch_max) k = B->a->trial_batch_max;
+        if (getenv("FPLLL_TPU_BKZ_DEBUG"))
+          fprintf(stderr,
+                  "[bkz grouped?] kappa=%d bs=%d k=%d est=%.3g expect=%.3g "
+                  "remaining=%.3g budget=%lld\n",
+                  kappa, bs, k, last_est, last_expect, remaining,
+                  B->a->hybrid_budget);
+        if (k >= 2 &&
+            (double)k * last_est > (double)B->a->hybrid_budget) {
+          int grc = grouped_trials_c(B, kappa, bs, par, k, &remaining,
+                                     &rerandomize);
+          if (grc < 0) return -1;
+          if (grc == 0) continue;
+        }
+      }
       if (!rerandomize_block_c(B, kappa + 1, kappa + bs, par->density))
         return -1;
+    }
     if (svp_preprocessing_c(B, kappa, bs, par) < 0) return -1;
     for (int i = kappa; i < kappa + bs; i++)
       if (!update_gso_row(S, i, i)) {
@@ -695,6 +874,9 @@ static int svp_reduction_c(bkz_ctx *B, int kappa, int bs,
     int ncoef;
     double expect;
     select_pruning(B, bs, B->rdiag_s[0] / gh1, &coefs, &ncoef, &expect);
+    last_est = enum_tree_estimate(bs, B->rdiag_s, ncoef ? coefs : NULL,
+                                  maxdist);
+    last_expect = expect;
     {
       double sol[BKZ_MAXD], dist;
       int found = window_enum_c(B, bs, B->mut_s, B->rdiag_s,
@@ -806,6 +988,12 @@ int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
   S->n_known_rows = d;
   a->t_enum_out = a->t_dev_out = a->t_lll_out = a->t_misc_out = 0.0;
   a->t_babai_out = a->t_move_out = 0.0;
+  a->dev_nodes_out = 0.0;
+  a->g_max_out = 0;
+  {
+    const char *fe = getenv("FPLLL_TPU_BKZ_FAULT");
+    B.fault_after = fe ? atol(fe) : 0;
+  }
   double t_start = now_s();
   {
     bkz_par par = {a->block_size, a->flags, a->gh_factor, a->min_succ,

@@ -112,3 +112,85 @@ def test_pallas_lane_grid_matches_brute_force():
     assert out["count"]["sols"] == brute["pairs"]
     assert abs(out["count"]["best"] - brute["best"]) < 1e-4
     assert abs(out["search"]["best"] - brute["best"]) < 1e-4
+
+
+_GROUPED_SCRIPT = r"""
+import json
+import itertools
+import numpy as np
+from fplll_tpu.jaxsetup import jax, jnp
+from fplll_tpu.enum.tpu import _grouped_device_windows
+
+np.random.seed(11)
+d = 6
+G = 2
+probs = []
+for g in range(G):
+    mut_low = np.eye(d) + np.tril(np.random.randn(d, d) * 0.3, -1)
+    rdiag = np.abs(np.random.randn(d)) + 0.5
+    probs.append((mut_low, rdiag))
+A = 3.0
+brute = []
+for mut_low, rdiag in probs:
+    best = np.inf
+    for xs in itertools.product(range(-6, 7), repeat=d):
+        x = np.array(xs, float)
+        dist = 0.0
+        for k in range(d):
+            c = x[k] + sum(mut_low[j, k] * x[j] for j in range(k + 1, d))
+            dist += c * c * rdiag[k]
+        if dist <= A and np.any(x != 0):
+            best = min(best, dist)
+    brute.append(best)
+
+muts = np.stack([p[0].T for p in probs])
+rdiags = np.stack([p[1] for p in probs])
+prunes = np.ones((G, d))
+maxd = np.full(G, A)
+out = _grouped_device_windows(muts, rdiags, prunes, maxd)
+assert out is not None, "grouped path declined"
+dists, sols, nodes = out
+# verify each returned solution's claimed distance exactly (f64 recompute)
+recomputed = []
+for g in range(G):
+    x = sols[g]
+    mut_low, rdiag = probs[g]
+    dist = 0.0
+    for k in range(d):
+        c = x[k] + sum(mut_low[j, k] * x[j] for j in range(k + 1, d))
+        dist += c * c * rdiag[k]
+    recomputed.append(dist)
+print("RESULT " + json.dumps({
+    "dists": [float(v) for v in dists],
+    "recomputed": recomputed,
+    "brute": brute,
+    "nodes": float(nodes)}))
+"""
+
+
+@pytest.mark.slow
+def test_pallas_grouped_windows_match_brute_force():
+    """The grouped-trial launch (G problems, one kernel launch) must
+    solve each problem independently: per-group best distances match
+    brute force, and the returned coordinate vectors reproduce the
+    claimed distances."""
+    env = dict(os.environ)
+    env.update({
+        "FPLLL_TPU_PALLAS_INTERPRET": "1",
+        "FPLLL_TPU_PLATFORM": "cpu",
+        "JAX_PLATFORMS": "cpu",
+        "FPLLL_TPU_GROUP_BATCH": "128",
+        "FPLLL_TPU_GROUP_ROOT_FACTOR": "2",
+    })
+    res = subprocess.run([sys.executable, "-c", _GROUPED_SCRIPT],
+                         capture_output=True, text=True, timeout=900,
+                         env=env, cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-4000:]
+    line = [ln for ln in res.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    out = json.loads(line[len("RESULT "):])
+    for g in range(2):
+        assert abs(out["dists"][g] - out["brute"][g]) < 1e-4
+        assert abs(out["recomputed"][g] - out["brute"][g]) < 1e-6
+    assert out["nodes"] > 0
