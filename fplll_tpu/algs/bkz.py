@@ -393,15 +393,18 @@ class BKZReduction:
         # crossover + device-eligibility policy: below _MIN_TPU_DIM the
         # sequential core always wins; above it, the C loop routes windows
         # whose GH tree estimate exceeds this budget straight to the
-        # device. The GH estimate counts bound-passing nodes and runs
-        # ~3-10x under the visited count on extreme-pruned windows, so
-        # the threshold is set well below the measured ~20M-visited
-        # break-even of the launch overhead (block-70 tours showed 30M+
-        # node windows pricing under the old 15M threshold).
+        # device (and batches escalation-worthy retrials into grouped
+        # launches when k*est exceeds it). Measured round 5: the
+        # corrected GH estimate runs ~2.5-3x OVER the visited count on
+        # extreme-pruned block-50/60 windows, the C core walks ~6e7
+        # visited/s, the device window path ~1.8e8 with ~0.45 s
+        # launch+prep overhead -> break-even ~30-40M visited ~ 1e8
+        # estimated. On the CPU backend the "device" is a slower
+        # emulation; only astronomically large trees should escalate.
         from ..enum.tpu import _MIN_TPU_DIM
         from ..jaxsetup import jax
-        default_budget = 4_000_000 if jax.default_backend() == "tpu" \
-            else 64_000_000
+        default_budget = 60_000_000 if jax.default_backend() == "tpu" \
+            else 2_000_000_000
         budget = int(os.environ.get("FPLLL_TPU_HYBRID_NODES",
                                     str(default_budget)))
         out = native_bkz_tour(
@@ -421,6 +424,12 @@ class BKZReduction:
         t = native_bkz_tour.last_timers
         self.dev_nodes = getattr(self, "dev_nodes", 0) + int(t["dev_nodes"])
         self.g_max = max(getattr(self, "g_max", 0), int(t["g_max"]))
+        acc = getattr(self, "native_timers", None)
+        if acc is None:
+            acc = self.native_timers = {}
+        for key in ("enum_s", "device_s", "lll_s", "misc_s", "babai_s",
+                    "move_s"):
+            acc[key] = acc.get(key, 0.0) + float(t[key])
         if changed:
             m.b.version += 1
             self._clean_lll = (-1, -1)

@@ -404,19 +404,32 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                 alive = jnp.sum(act_i[None, :], axis=1, dtype=_I)[0] > 0
                 return (i + jnp.int32(1), alive, A)
 
-            # ---- in-kernel root-queue pop (one root per step) -----------
+            # ---- in-kernel root-queue pop (up to POPW roots per step) ---
             # cursor lives in SMEM scratch so the whole pop — DMA of the
             # cursor's 128-root group, one-hot extract, lane assignment —
-            # runs only on steps that actually have a dead lane (deaths
-            # are ~0.3/step; an unconditional pop tripled the step cost)
+            # runs only on steps that actually have a dead lane.  Round-5
+            # profiling showed root-heavy launches (R ~ 100k, subtree
+            # sizes ~100 nodes) spending nearly EVERY step popping: at
+            # one root per step the queue drain itself lower-bounds the
+            # step count by R.  The pop now assigns up to POPW dead lanes
+            # from the same DMA'd group in one step (one (128, POPW)
+            # selection matmul + one (m, POPW) center matmul), lifting
+            # the refill ceiling 8x.
             nfixp = rq_nfixp
             rows_pg = ((nfixp + 1 + 7) // 8) * 8  # sublane-aligned group
+            POPW = int(os.environ.get("FPLLL_TPU_POPW", "8"))
             deadv = act_i == 0
             n_dead = jnp.sum(deadv[None, :].astype(_I), axis=1,
                              dtype=_I)[0]
             lanes = jax.lax.broadcasted_iota(_I, (1, B), 1)[0, :]
             cur_now = cur_s[0, 0]
-            do_pop = (n_dead > jnp.int32(0)) & (cur_now < jnp.int32(rq_R))
+            # fire the (heavier) multi-pop only once enough lanes are
+            # dead to use most of its width; near the end of the queue
+            # any dead lane pops so the drain finishes promptly
+            thresh = jnp.minimum(jnp.int32(max(POPW // 2, 1)),
+                                 jnp.int32(rq_R) - cur_now)
+            do_pop = (n_dead >= thresh) & (n_dead > jnp.int32(0)) & \
+                (cur_now < jnp.int32(rq_R))
 
             mr1 = mr_ref[0, 0] - jnp.int32(1)   # topmost real level
 
@@ -424,54 +437,85 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             def _():
                 g = cur_now // jnp.int32(128)
                 l = cur_now - g * jnp.int32(128)
+                # never advance past what dead lanes can actually absorb:
+                # an uncapped advance would skip (lose) whole subtrees
+                navail = jnp.minimum(
+                    jnp.minimum(jnp.int32(POPW), n_dead),
+                    jnp.minimum(jnp.int32(128) - l,
+                                jnp.int32(rq_R) - cur_now))
                 copy = pltpu.make_async_copy(
                     rootsP_ref.at[pl.ds(rq_base + g * rows_pg, rows_pg), :],
                     roots_vmem_ref, roots_sem_ref)
                 copy.start()
                 copy.wait()
                 blk = roots_vmem_ref[:]
-                ohl = jnp.where(
-                    jax.lax.broadcasted_iota(_I, (1, 128), 1) == l, one,
-                    zero)
-                rootcol = jax.lax.dot_general(
-                    blk, ohl, (((1,), (1,)), ((), ())),
+                # rank dead lanes (inclusive prefix sum via a log-depth
+                # shift-add network; Mosaic has no cumsum primitive);
+                # lane with rank p takes root cur_now+p
+                ps = deadv.astype(_F)[None, :]          # (1, B)
+                sh = 1
+                while sh < B:
+                    ps = ps + jnp.concatenate(
+                        [jnp.zeros((1, sh), _F), ps[:, :B - sh]], axis=1)
+                    sh *= 2
+                rank = ps[0, :].astype(_I) - jnp.int32(1)
+                take = deadv & (rank < navail)
+                ohr = jnp.where(
+                    (jax.lax.broadcasted_iota(_I, (POPW, B), 0) ==
+                     rank[None, :]) & take[None, :], one, zero)  # (POPW,B)
+                iot128 = jax.lax.broadcasted_iota(_I, (128, POPW), 0)
+                iotP = jax.lax.broadcasted_iota(_I, (128, POPW), 1)
+                ohlP = jnp.where((iot128 == l + iotP) & (iotP < navail),
+                                 one, zero)                      # (128,POPW)
+                rootcols = jax.lax.dot_general(
+                    blk, ohlP, (((1,), (0,)), ((), ())),
                     preferred_element_type=_F,
-                    precision=jax.lax.Precision.HIGHEST)   # (nfixp+1, 1)
-                rpdc = rootcol[nfixp, 0]
-                live = rpdc <= A
-                mn = jnp.min(jnp.where(deadv[None, :], lanes[None, :],
-                                       jnp.int32(B)), axis=1)[0]
-                sel = deadv & (lanes == mn) & live
+                    precision=jax.lax.Precision.HIGHEST)  # (rows_pg, POPW)
+                pdv = jax.lax.dot_general(
+                    rootcols[nfixp:nfixp + 1, :], ohr,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F,
+                    precision=jax.lax.Precision.HIGHEST)[0, :]   # (B,)
+                livev = take & (pdv <= A)
                 if nfixp:
-                    csn = cp0C_ref[:] - jax.lax.dot(
-                        MxF_ref[:], rootcol[:nfixp, :],
+                    csn_all = cp0C_ref[:] - jax.lax.dot(
+                        MxF_ref[:], rootcols[:nfixp, :],
                         preferred_element_type=_F,
-                        precision=jax.lax.Precision.HIGHEST)    # (m, 1)
+                        precision=jax.lax.Precision.HIGHEST)     # (m, POPW)
                 else:
-                    csn = cp0C_ref[:]
-                rpd0 = jnp.where(live, rpdc, zero)
-                c0n = csn[m - 1, 0]
-                x0n = jnp.trunc(c0n + jnp.where(c0n >= zero,
+                    csn_all = jnp.broadcast_to(cp0C_ref[:], (m, POPW))
+                cs_new = jax.lax.dot(
+                    csn_all, ohr, preferred_element_type=_F,
+                    precision=jax.lax.Precision.HIGHEST)         # (m, B)
+                rpd0 = jnp.where(livev, pdv, zero)
+                c0v = cs_new[m - 1, :]
+                x0v = jnp.trunc(c0v + jnp.where(c0v >= zero,
                                                 jnp.float32(0.5),
                                                 jnp.float32(-0.5)))
                 if is_svp:
-                    x0n = jnp.where(rpd0 == zero, jnp.maximum(x0n, zero),
-                                    x0n)
-                selr = sel[None, :]
-                cs_o[:] = jnp.where(selr, csn, cs_o[:])
-                k_o[0, :] = jnp.where(sel, jnp.int32(m - 1), k_o[0, :])
-                act_o[0, :] = jnp.where(sel, jnp.int32(1), act_o[0, :])
-                xk_o[0, :] = jnp.where(sel, x0n, xk_o[0, :])
-                ck_o[0, :] = jnp.where(sel, c0n, ck_o[0, :])
-                pdk_o[0, :] = jnp.where(sel, rpd0, pdk_o[0, :])
-                rk_o[0, :] = jnp.where(sel, Mx_ref[m, m - 1], rk_o[0, :])
-                prk_o[0, :] = jnp.where(sel, Mx_ref[m + 1, m - 1],
+                    x0v = jnp.where(rpd0 == zero, jnp.maximum(x0v, zero),
+                                    x0v)
+                selr = take[None, :]
+                cs_o[:] = jnp.where(selr, cs_new, cs_o[:])
+                k_o[0, :] = jnp.where(take, jnp.int32(m - 1), k_o[0, :])
+                act_o[0, :] = jnp.where(take,
+                                        livev.astype(_I), act_o[0, :])
+                xk_o[0, :] = jnp.where(take, x0v, xk_o[0, :])
+                ck_o[0, :] = jnp.where(take, c0v, ck_o[0, :])
+                pdk_o[0, :] = jnp.where(take, rpd0, pdk_o[0, :])
+                rk_o[0, :] = jnp.where(take, Mx_ref[m, m - 1], rk_o[0, :])
+                prk_o[0, :] = jnp.where(take, Mx_ref[m + 1, m - 1],
                                         prk_o[0, :])
-                ridx_o[0, :] = jnp.where(sel, cur_now, ridx_o[0, :])
+                ridx_o[0, :] = jnp.where(take, cur_now + rank,
+                                         ridx_o[0, :])
                 # sorted ascending pd: a bound-dead root (or the finite
                 # pd sentinel of the padding) drains the rest in O(1)
-                cur_s[0, 0] = jnp.where(live, cur_now + jnp.int32(1),
-                                        jnp.int32(rq_R))
+                n_live = jnp.sum(jnp.where(livev, jnp.int32(1),
+                                           jnp.int32(0))[None, :],
+                                 axis=1, dtype=_I)[0]
+                cur_s[0, 0] = jnp.where(n_live < navail,
+                                        jnp.int32(rq_R),
+                                        cur_now + navail)
 
             # ---- top-level sibling donation (queue empty) ---------------
             # The terminal tail of a pruned search is a handful of giant

@@ -753,13 +753,16 @@ _MIN_TPU_DIM = int(__import__("os").environ.get("FPLLL_TPU_MIN_ENUM_DIM", 34))
 def gh_tree_estimate(rdiag, prune, A) -> float:
     """Gaussian-heuristic estimate of the bound-passing node count
     (the same level-volume sum bkz_core.c:enum_tree_estimate prices
-    windows with)."""
+    windows with).  Depth j of the DFS fixes the TOP j coordinates, so
+    the j-level count uses the LAST j Gram-Schmidt norms and the bound
+    prune[d-j]*A (see the bkz_core.c comment for the round-4 bug this
+    orientation fixes)."""
     rdiag = np.asarray(rdiag, dtype=np.float64)
     d = len(rdiag)
     pr = np.ones(d) if prune is None else np.asarray(prune, np.float64)
     ks = np.arange(1, d + 1)
-    logs = 0.5 * np.cumsum(np.log(rdiag))
-    lv = (ks / 2.0) * np.log(np.pi * pr * A) - \
+    logs = 0.5 * np.cumsum(np.log(rdiag[::-1]))
+    lv = (ks / 2.0) * np.log(np.pi * pr[::-1] * A) - \
         np.array([math.lgamma(k / 2.0 + 1.0) for k in ks]) - logs
     with np.errstate(over="ignore"):
         return float(0.5 * np.exp(np.minimum(lv, 700)).sum())
@@ -972,12 +975,16 @@ def _grouped_device_windows(muts, rdiags, prunes, maxdists):
     from .pallas_kernel import (_enum_run_pallas_grouped, pallas_available,
                                 pallas_tile)
 
+    import time as _time
+
     G, d, _ = muts.shape
     B = int(os.environ.get("FPLLL_TPU_GROUP_BATCH", "1024"))
     m = ((d + 7) // 8) * 8
     if m > 128 or not (pallas_available() and pallas_tile(m, B) == B):
         return None
-    factor = int(os.environ.get("FPLLL_TPU_GROUP_ROOT_FACTOR", "64"))
+    dbg = os.environ.get("FPLLL_TPU_GROUP_DEBUG") is not None
+    t_start = _time.time()
+    factor = int(os.environ.get("FPLLL_TPU_GROUP_ROOT_FACTOR", "16"))
     slack = 1.0 + 1e-5                 # f32 bound slack (TPUEnumerator)
     cp0 = np.zeros(d)
     per_group = []
@@ -1008,10 +1015,11 @@ def _grouped_device_windows(muts, rdiags, prunes, maxdists):
     nfixp = 8
     while nfixp < nfix_max:
         nfixp *= 2
-    # pin the queue length to the target bucket so launch geometry (and
-    # hence the compiled kernel) stays stable across windows of one tour
-    R_pad = 1024
-    while R_pad < max(R_max, factor * B):
+    # pin the queue length (floor 32768) so launch geometry — and hence
+    # the compiled-kernel cache key — stays stable across windows, tours
+    # and root-factor tunings; only over-wide expansions grow it
+    R_pad = 32768
+    while R_pad < R_max:
         R_pad *= 2
     rows_pg = ((nfixp + 1 + 7) // 8) * 8
     n_pg = (R_pad // 128) * rows_pg
@@ -1054,12 +1062,21 @@ def _grouped_device_windows(muts, rdiags, prunes, maxdists):
         rootsP_all[g * n_pg:(g + 1) * n_pg] = P.reshape(n_pg, 128)
         A0s[g, :] = A_g
         mrs[g, :] = m_real
+    t_pack = _time.time()
     out = _enum_run_pallas_grouped(
         jnp.asarray(Mx_all), jnp.asarray(MxF_all), jnp.asarray(cp0C_all),
         jnp.asarray(rootsP_all), jnp.asarray(A0s.reshape(1, -1)),
         jnp.asarray(mrs.reshape(1, -1)), G=G_pad, m=m, B=B, R=R_pad,
         nfixp=nfixp)
     out = jax.device_get(out)
+    if dbg:
+        import sys as _sys
+        print(f"[grouped] G={G}/{G_pad} m={m} R={R_pad} nfixp={nfixp} "
+              f"rootgen+pack={t_pack - t_start:.3f}s "
+              f"kernel+get={_time.time() - t_pack:.3f}s "
+              f"steps={int(out['steps'])} "
+              f"nodes={float(np.asarray(out['nodes']).sum()):.3g}",
+              file=_sys.stderr)
     dists = np.full(G, np.inf)
     sols = np.zeros((G, d))
     # per-level counters include one virtual-level walk per popped root
@@ -1111,18 +1128,22 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
     sols = np.zeros((G, m))
     total_nodes = 0.0
     cp0 = np.zeros(m)
+    _dbg = __import__("os").environ.get("FPLLL_TPU_GROUP_DEBUG") is not None
+    _t0 = __import__("time").time()
     for g in range(G):
         ev = FastEvaluator(nr_solutions=1)
         enum = _make_enumerator(
             jnp.float32,
             est_nodes=gh_tree_estimate(rdiags[g], prunes[g],
                                        float(maxdists[g])))
-        # measured on pruned block-50/60 windows: deeper splitting (more,
-        # smaller subtree roots) shortens the low-utilization tail where
-        # a handful of giant subtrees keep most lanes idle (the sharded
-        # mesh driver splits per-device internally and has no such knob)
+        # round-5 sweep (block-60 window, multi-pop kernel): trf 8-16 at
+        # B=1024 beats the old deep-splitting trf=128 by 2.5x — the
+        # in-kernel donation covers the terminal tail, and a short root
+        # queue drains without throttling refills (the sharded mesh
+        # driver splits per-device internally and has no such knob)
         if hasattr(enum, "target_root_factor"):
-            enum.target_root_factor = max(enum.target_root_factor, 128)
+            enum.target_root_factor = int(__import__("os").environ.get(
+                "FPLLL_TPU_WINDOW_ROOT_FACTOR", "16"))
         maxdist = float(maxdists[g])
         gh2 = math.exp(float(np.mean(np.log(rdiags[g]))) -
                        2.0 * (m / 2.0 * math.log(math.pi) -
@@ -1142,6 +1163,11 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
             d0, x = ev.begin()
             dists[g] = d0
             sols[g, :len(x)] = x
+    if _dbg:
+        import sys as _sys
+        print(f"[window G={G}] m={m} nodes={total_nodes:.3g} "
+              f"wall={__import__('time').time() - _t0:.3f}s",
+              file=_sys.stderr)
     return dists, sols, total_nodes
 
 

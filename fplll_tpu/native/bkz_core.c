@@ -533,14 +533,22 @@ static void select_pruning(bkz_ctx *B, int bs, double ratio,
    pruned enumeration tree (the level-volume sum the pruner's cost model
    integrates, pruner_cost.cpp:8-67, collapsed to the GH ball volumes).
    Used to price windows against the measured device-launch overhead
-   BEFORE enumerating, instead of burning a budgeted C pass first. */
+   BEFORE enumerating, instead of burning a budgeted C pass first.
+
+   Depth-j of the DFS fixes the TOP j coordinates (levels bs-1 down to
+   bs-j), so the j-level count divides the j-ball volume by the product
+   of the LAST j Gram-Schmidt norms and is bounded by prune[bs-j]*A —
+   the round-4 version accumulated from rdiag[0] (the LARGEST norms of
+   a reduced basis), underestimating block-60/70 windows by 5-6 orders
+   of magnitude and silently routing every production window to the
+   sequential core. */
 static double enum_tree_estimate(int bs, const double *rdiag,
                                  const double *prune, double A) {
   double logs = 0.0, tot = 0.0;
-  for (int k = 1; k <= bs; k++) {
-    logs += 0.5 * log(rdiag[k - 1]);
-    double pk = prune ? prune[k - 1] : 1.0;
-    double lv = (k / 2.0) * log(M_PI * pk * A) - lgamma(k / 2.0 + 1.0) - logs;
+  for (int j = 1; j <= bs; j++) {
+    logs += 0.5 * log(rdiag[bs - j]);
+    double pj = prune ? prune[bs - j] : 1.0;
+    double lv = (j / 2.0) * log(M_PI * pj * A) - lgamma(j / 2.0 + 1.0) - logs;
     tot += 0.5 * exp(lv);
   }
   return tot;
