@@ -136,7 +136,7 @@ _N_STATE = 12
 def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
                        count_mode: bool, wide_scalars: bool = False,
                        rq_nfixp: int = -1, rq_R: int = 0,
-                       rq_grid: bool = False):
+                       rq_grid: bool = False, rq_G_real: int = 0):
     """wide_scalars: A/steps outputs are (1, B) VMEM rows (broadcast per
     lane tile) instead of (1, 1) SMEM scalars — the lane-tiled grid path
     needs this because TPU lowering rejects (1, 1) blocks over a
@@ -165,16 +165,29 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
     n_state = _N_STATE + (2 if rq else 0)
 
     def kernel(Mx_ref, A_ref, *refs):
+        ash_ref = None
         if rq:
             cur_ref = refs[0]
             mr_ref = refs[1]      # topmost real level + 1 (m_real), SMEM
             MxF_ref = refs[2]
             cp0C_ref = refs[3]
             rootsP_ref = refs[4]  # HBM-resident; groups DMA'd on demand
-            roots_vmem_ref = refs[-3]
-            roots_sem_ref = refs[-2]
-            cur_s = refs[-1]      # SMEM cursor (mutable inside pl.when)
-            refs = refs[5:-3]
+            if rq_grid:
+                roots_vmem_ref = refs[-4]
+                roots_sem_ref = refs[-3]
+                cur_s = refs[-2]
+                ash_ref = refs[-1]  # SMEM shared bound, persists across
+                #                     grid cells: the trials search the
+                #                     SAME lattice, so any trial's best
+                #                     distance bounds every other trial
+                #                     (enumlib's shared shrinking A,
+                #                     enum-parallel/enumeration.h:68-83)
+                refs = refs[5:-4]
+            else:
+                roots_vmem_ref = refs[-3]
+                roots_sem_ref = refs[-2]
+                cur_s = refs[-1]  # SMEM cursor (mutable inside pl.when)
+                refs = refs[5:-3]
             cur_s[0, 0] = cur_ref[0, 0]
         if rq and rq_grid:
             # this cell's segment of the stacked per-problem root queues
@@ -528,7 +541,12 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             # donor's saved x — splitting the remaining top siblings off
             # one subtree at a time without host involvement.
             n_act = jnp.sum(act_o[0, :][None, :], axis=1, dtype=_I)[0]
-            do_donate = (~do_pop) & (n_dead > jnp.int32(0)) & \
+            # donate only once the root queue is exhausted: while roots
+            # remain, a sub-threshold dead count just waits for the next
+            # gated multi-pop (donating mid-queue would race the queue
+            # and pay the 2-DMA donation cost on ordinary steps)
+            do_donate = (cur_now >= jnp.int32(rq_R)) & \
+                (n_dead > jnp.int32(0)) & \
                 (n_act > jnp.int32(0)) & (mr1 >= jnp.int32(1))
 
             @pl.when(do_donate)
@@ -650,8 +668,18 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             i, alive, _ = carry
             return (i < jnp.int32(chunk)) & alive
 
+        A_start = A_ref[0, 0]
+        if ash_ref is not None:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                ash_ref[0, 0] = jnp.float32(np.inf)
+            A_start = jnp.minimum(A_start, ash_ref[0, 0])
         i_fin, _, A_fin = jax.lax.while_loop(
-            cond, step, (jnp.int32(0), jnp.bool_(True), A_ref[0, 0]))
+            cond, step, (jnp.int32(0), jnp.bool_(True), A_start))
+        if ash_ref is not None:
+            @pl.when(pl.program_id(0) < jnp.int32(rq_G_real))
+            def _():
+                ash_ref[0, 0] = jnp.minimum(ash_ref[0, 0], A_fin)
         if rq:
             if wide_scalars:
                 cur_o[0, :] = jnp.full((B,), cur_s[0, 0], _I)
@@ -713,11 +741,12 @@ def _chunk_call_rq(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs, bdev, k,
 
 
 @partial(jax.jit, static_argnames=("G", "m", "B", "chunk", "is_svp",
-                                   "nfixp", "R"))
+                                   "nfixp", "R", "G_real"))
 def _chunk_call_rq_grouped(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs,
                            bdev, k, act, xk, ck, pdk, rk, prk, bdist, ridx,
                            bri, G: int, m: int, B: int, chunk: int,
-                           is_svp: bool, nfixp: int, R: int):
+                           is_svp: bool, nfixp: int, R: int,
+                           G_real: int = 0):
     """One VMEM-resident chunk over a grid of G INDEPENDENT window
     problems (grouped-trial launch), each cell = the rq kernel on its
     own problem: Mx/MxF/cp0C stacked along rows, lane state stacked
@@ -729,7 +758,7 @@ def _chunk_call_rq_grouped(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs,
     rows_pg = ((nfixp + 1 + 7) // 8) * 8
     kernel = _make_chunk_kernel(m, B, chunk, is_svp, False,
                                 wide_scalars=True, rq_nfixp=nfixp, rq_R=R,
-                                rq_grid=True)
+                                rq_grid=True, rq_G_real=G_real)
     GB = G * B
 
     def lane_i(g):
@@ -754,7 +783,8 @@ def _chunk_call_rq_grouped(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs,
             vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[pltpu.VMEM((rows_pg, 128), _F),
                         pltpu.SemaphoreType.DMA,
-                        pltpu.SMEM((1, 1), _I)],
+                        pltpu.SMEM((1, 1), _I),
+                        pltpu.SMEM((1, 1), _F)],
         in_specs=[vmem_Mx, vmem_1f, vmem_1f, vmem_1f, vmem_MxF, vmem_cp0,
                   pl.BlockSpec(memory_space=pltpu.ANY)] + state_specs,
         out_shape=(mGB, mGB, mGB, mGB, oGBi, oGBi, oGBf, oGBf, oGBf, oGBf,
@@ -773,11 +803,12 @@ def _chunk_call_rq_grouped(Mx, A, cur, mr, MxF, cp0C, rootsP, x, pd, cs,
 
 
 @partial(jax.jit, static_argnames=("G", "m", "B", "R", "nfixp", "is_svp",
-                                   "chunk", "max_steps"))
+                                   "chunk", "max_steps", "G_real"))
 def _enum_run_pallas_grouped(Mx_all, MxF_all, cp0C_all, rootsP_all, A0s,
                              mrs, G: int, m: int, B: int, R: int,
                              nfixp: int, is_svp: bool = True,
-                             chunk: int = _CHUNK, max_steps: int = 1 << 30):
+                             chunk: int = _CHUNK, max_steps: int = 1 << 30,
+                             G_real: int = 0):
     """Enumerate G independent window problems in ONE launch sequence
     (the device side of the native BKZ grouped-trial seam).  All lanes
     start DEAD with per-problem cursors at 0: the in-kernel root queue
@@ -817,7 +848,7 @@ def _enum_run_pallas_grouped(Mx_all, MxF_all, cp0C_all, rootsP_all, A0s,
             s["x"], s["pd"], s["cs"], s["bdev"], s["k"], s["act"], s["xk"],
             s["ck"], s["pdk"], s["rk"], s["prk"], s["bdist"], s["ridx"],
             s["bri"], G=G, m=m, B=B, chunk=chunk, is_svp=True, nfixp=nfixp,
-            R=R)
+            R=R, G_real=(G_real if G_real else G))
         s = dict(s)
         s.update(x=x, pd=pd, cs=cs, bdev=bdev, k=k, act=act, xk=xk, ck=ck,
                  pdk=pdk, rk=rk, prk=prk, bdist=bdist, ridx=ridx, bri=bri,

@@ -592,8 +592,14 @@ class TPUEnumerator:
 
         # pad the device tree height up to a bucket so the jitted kernel is
         # traced once per bucket: virtual levels admit exactly x=0 (center 0,
-        # huge rdiag kills any sibling immediately)
+        # huge rdiag kills any sibling immediately).  pin_m/pin_nfix/pin_R
+        # (optional, set by the BKZ window driver) pad further so every
+        # window of a tour hits ONE compiled geometry instead of one per
+        # split depth.
         m = min(((m_real + 7) // 8) * 8, self.max_device_levels)
+        pin_m = getattr(self, "pin_m", 0)
+        if pin_m:
+            m = min(max(m, pin_m), self.max_device_levels)
         mut_pad = np.zeros((m, m))
         mut_pad[:m_real, :m_real] = mut[:m_real, :m_real]
         rdiag_pad = np.full(m, 1e300)
@@ -607,6 +613,7 @@ class TPUEnumerator:
         nfix_pad = 0
         while nfix_pad < nfix:
             nfix_pad = 8 if nfix_pad == 0 else nfix_pad * 2
+        nfix_pad = max(nfix_pad, getattr(self, "pin_nfix", 0))
         mut_fix_pad = np.zeros((m, nfix_pad))
         if nfix:
             mut_fix_pad[:m_real, :nfix] = mut[:m_real, m_real:d]
@@ -614,7 +621,7 @@ class TPUEnumerator:
         # pad the root queue to a power-of-two bucket (>= one batch) so the
         # kernel signature stays cacheable; padding roots are dead (+inf)
         R = len(roots_pd)
-        R_pad = 1024
+        R_pad = max(1024, getattr(self, "pin_R", 0))
         while R_pad < R:
             R_pad *= 2
         rx_pad = np.zeros((R_pad, nfix_pad))
@@ -968,6 +975,13 @@ def _grouped_device_windows(muts, rdiags, prunes, maxdists):
     /root/reference/fplll/enum-parallel/enumeration.h:412-505, with the
     launch overhead amortized over all G trials.
 
+    CONTRACT: the G problems must be rerandomized bases of the SAME
+    lattice block (which is what the native BKZ retrial loop produces) —
+    the kernel shares the shrinking bound across trials, exactly like
+    enumlib's walkers share one atomic radius, so a solution found by
+    any trial prunes all the others.  The caller keeps only the best
+    trial; trials bounded out by a better sibling report inf.
+
     Returns (dists, sols, total_nodes) or None to decline (caller falls
     back to the per-trial loop)."""
     import os
@@ -1027,7 +1041,9 @@ def _grouped_device_windows(muts, rdiags, prunes, maxdists):
     MxF_all = np.zeros((G_pad * m, nfixp), np.float32)
     cp0C_all = np.zeros((G_pad * m, 1), np.float32)
     rootsP_all = np.zeros((G_pad * n_pg, 128), np.float32)
-    A0s = np.full((G_pad, B), 1.0, np.float32)
+    # dummy problems get A0 = 0 (instant queue drain) and are excluded
+    # from the cross-trial shared bound by G_real
+    A0s = np.zeros((G_pad, B), np.float32)
     mrs = np.full((G_pad, B), m, np.int32)
     # sentinel pd for padded queue slots and dummy problems: a bound-dead
     # root drains the cursor in O(1) (see the rq packing note in
@@ -1067,7 +1083,7 @@ def _grouped_device_windows(muts, rdiags, prunes, maxdists):
         jnp.asarray(Mx_all), jnp.asarray(MxF_all), jnp.asarray(cp0C_all),
         jnp.asarray(rootsP_all), jnp.asarray(A0s.reshape(1, -1)),
         jnp.asarray(mrs.reshape(1, -1)), G=G_pad, m=m, B=B, R=R_pad,
-        nfixp=nfixp)
+        nfixp=nfixp, G_real=G)
     out = jax.device_get(out)
     if dbg:
         import sys as _sys
@@ -1144,6 +1160,12 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
         if hasattr(enum, "target_root_factor"):
             enum.target_root_factor = int(__import__("os").environ.get(
                 "FPLLL_TPU_WINDOW_ROOT_FACTOR", "16"))
+            # one compiled geometry per window size: pad the kernel
+            # height to the window's bucket, fixed-coordinate count and
+            # root queue to stable buckets
+            enum.pin_m = min(((m + 7) // 8) * 8, enum.max_device_levels)
+            enum.pin_nfix = 16
+            enum.pin_R = 32768
         maxdist = float(maxdists[g])
         gh2 = math.exp(float(np.mean(np.log(rdiags[g]))) -
                        2.0 * (m / 2.0 * math.log(math.pi) -

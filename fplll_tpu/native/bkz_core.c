@@ -150,20 +150,60 @@ static void mark_changed(bkz_ctx *B, int t) {
 
 static int row_addmul_exact(bkz_ctx *B, int i, int j, long x) {
   lll_state *S = &B->S;
+  int L = S->L;
   if (!x) return 1;
   /* stage-then-commit (atomicity: see lll_core row_addmul_we_impl) — an
      overflow must leave row i a valid lattice vector, because the tour
-     copies the partially reduced basis back to Python on failure */
-  uint64_t *tb = S->rowtmp;
-  memcpy(tb, row(S, i), (size_t)S->n * S->L * 8);
-  for (int c = 0; c < S->n; c++)
-    if (bn_addmul_si(tb + (size_t)c * S->L,
-                     row(S, j) + (size_t)c * S->L, x, S->L)) {
-      B->status = OVERFLOW_FAILURE;
-      return 0;
+     copies the partially reduced basis back to Python on failure.
+     Arithmetic runs at the rows' effective width (see bn_addmul_fused);
+     coefficients past 2^53 (never produced by insertion/rerandomize)
+     fall back to full width. */
+  int width = L;
+  if (S->lw && (x < (1L << 53) && x > -(1L << 53))) {
+    int w = S->lw[i] > S->lw[j] ? S->lw[i] : S->lw[j];
+    width = w + 1 > L ? L : w + 1;
+  }
+  if (width < L) {
+    /* provably no overflow: update the row in place */
+    for (int c = 0; c < S->n; c++) {
+      uint64_t *dc = row(S, i) + (size_t)c * L;
+      const uint64_t *sc = row(S, j) + (size_t)c * L;
+      i128 carry = 0;
+      for (int t = 0; t < width; t++) {
+        i128 cur = (i128)(uint64_t)dc[t] +
+                   (i128)x * (i128)(uint64_t)sc[t] + carry;
+        dc[t] = (uint64_t)cur;
+        carry = cur >> 64;
+      }
+      uint64_t fill = (int64_t)dc[width - 1] < 0 ? ~0ULL : 0;
+      for (int t = width; t < L; t++) dc[t] = fill;
     }
-  memcpy(row(S, i), tb, (size_t)S->n * S->L * 8);
-  mark_changed(B, i);
+    mark_changed(B, i); /* update_bf refreshes lw[i] */
+    return 1;
+  }
+  uint64_t *tb = S->rowtmp;
+  memcpy(tb, row(S, i), (size_t)S->n * L * 8);
+  for (int c = 0; c < S->n; c++) {
+    uint64_t *dc = tb + (size_t)c * L;
+    const uint64_t *sc = row(S, j) + (size_t)c * L;
+    i128 carry = 0;
+    for (int t = 0; t < L; t++) {
+      i128 cur = (i128)(uint64_t)dc[t] + (i128)x * (i128)(uint64_t)sc[t] +
+                 carry;
+      dc[t] = (uint64_t)cur;
+      carry = cur >> 64;
+    }
+    {
+      uint64_t top = dc[L - 1], sec = dc[L - 2];
+      if (!((top == 0 && (int64_t)sec >= 0) ||
+            (top == ~0ULL && (int64_t)sec < 0))) {
+        B->status = OVERFLOW_FAILURE;
+        return 0;
+      }
+    }
+  }
+  memcpy(row(S, i), tb, (size_t)S->n * L * 8);
+  mark_changed(B, i); /* update_bf refreshes lw[i] */
   return 1;
 }
 
@@ -228,6 +268,12 @@ static void move_row_bkz(bkz_ctx *B, int old_r, int new_r) {
     memmove(S->row_expo + old_r, S->row_expo + old_r + 1,
             (size_t)(new_r - old_r) * sizeof(long));
     S->row_expo[new_r] = e;
+  }
+  if (S->lw) {
+    int w = S->lw[old_r];
+    memmove(S->lw + old_r, S->lw + old_r + 1,
+            (size_t)(new_r - old_r) * sizeof(int));
+    S->lw[new_r] = w;
   }
   rot_rows_left(S->mu, S->d, old_r, new_r, B->dtmp);
   rot_rows_left(S->r, S->d, old_r, new_r, B->dtmp);
@@ -688,7 +734,7 @@ static int svp_preprocessing_c(bkz_ctx *B, int kappa, int bs,
  * sequential trial), -1 = failure. */
 static int grouped_trials_c(bkz_ctx *B, int kappa, int bs,
                             const bkz_par *par, int k, double *remaining,
-                            int *rerandomize) {
+                            int *rerandomize, int include_current) {
   lll_state *S = &B->S;
   int nr = kappa + bs;
   size_t rowsz = (size_t)S->n * S->L;
@@ -716,9 +762,13 @@ static int grouped_trials_c(bkz_ctx *B, int kappa, int bs,
   uint64_t *trials = snap + savesz;
   memcpy(snap, S->b, savesz * 8);
   for (int g = 0; g < k; g++) {
-    if (!rerandomize_block_c(B, kappa + 1, kappa + bs, par->density))
-      goto fail;
-    if (svp_preprocessing_c(B, kappa, bs, par) < 0) goto fail;
+    if (!(include_current && g == 0)) {
+      /* include_current: trial 0 is the already-preprocessed state the
+         caller was about to enumerate alone — fold it into the launch */
+      if (!rerandomize_block_c(B, kappa + 1, kappa + bs, par->density))
+        goto fail;
+      if (svp_preprocessing_c(B, kappa, bs, par) < 0) goto fail;
+    }
     for (int i = kappa; i < kappa + bs; i++)
       if (!update_gso_row(S, i, i)) {
         B->status = RED_GSO_FAILURE;
@@ -842,6 +892,16 @@ static int svp_reduction_c(bkz_ctx *B, int kappa, int bs,
         int k = (int)ceil(log(tgt / remaining) / lg);
         if (k < 1) k = 1;
         if (k > B->a->trial_batch_max) k = B->a->trial_batch_max;
+        /* speculate only up to the trials expected BEFORE the first
+           success (~1/2p): a success re-prices the window (improved
+           basis -> higher expect, cheaper preprocessing), so trials
+           budgeted past it usually never run sequentially — each
+           speculative trial costs a full host preprocessing pass */
+        {
+          int kcap = (int)ceil(0.5 / last_expect);
+          if (kcap < 2) kcap = 2;
+          if (k > kcap) k = kcap;
+        }
         if (getenv("FPLLL_TPU_BKZ_DEBUG"))
           fprintf(stderr,
                   "[bkz grouped?] kappa=%d bs=%d k=%d est=%.3g expect=%.3g "
@@ -849,9 +909,12 @@ static int svp_reduction_c(bkz_ctx *B, int kappa, int bs,
                   kappa, bs, k, last_est, last_expect, remaining,
                   B->a->hybrid_budget);
         if (k >= 2 &&
-            (double)k * last_est > (double)B->a->hybrid_budget) {
+            (double)k * last_est > 2.5 * (double)B->a->hybrid_budget) {
+          /* grouped launches only pay off on genuinely large unions:
+             mid-size unions run at launch-overhead-dominated rates that
+             barely beat the sequential core (round-5 measurement) */
           int grc = grouped_trials_c(B, kappa, bs, par, k, &remaining,
-                                     &rerandomize);
+                                     &rerandomize, 0);
           if (grc < 0) return -1;
           if (grc == 0) continue;
         }
@@ -885,6 +948,28 @@ static int svp_reduction_c(bkz_ctx *B, int kappa, int bs,
     last_est = enum_tree_estimate(bs, B->rdiag_s, ncoef ? coefs : NULL,
                                   maxdist);
     last_expect = expect;
+    /* a device-worthy window expecting several trials launches them ALL
+       together, with the current (already preprocessed) state as trial
+       0 — a standalone first launch would pay the overhead twice */
+    if (B->cb && bs >= B->a->min_device_dim && B->a->hybrid_budget > 0 &&
+        B->a->trial_batch_max >= 2 && expect > 1e-9 && expect < 0.999 &&
+        last_est > (double)B->a->hybrid_budget) {
+      double lg = log(1.0 - expect);
+      int k = (int)ceil(log((1.0 - par->min_succ) / remaining) / lg);
+      if (k > B->a->trial_batch_max) k = B->a->trial_batch_max;
+      {
+        int kcap = (int)ceil(0.5 / expect); /* see the retrial cap */
+        if (kcap < 2) kcap = 2;
+        if (k > kcap) k = kcap;
+      }
+      if (k >= 2 &&
+          (double)k * last_est > 2.5 * (double)B->a->hybrid_budget) {
+        int grc = grouped_trials_c(B, kappa, bs, par, k, &remaining,
+                                   &rerandomize, 1);
+        if (grc < 0) return -1;
+        if (grc == 0) continue;
+      }
+    }
     {
       double sol[BKZ_MAXD], dist;
       int found = window_enum_c(B, bs, B->mut_s, B->rdiag_s,
@@ -975,6 +1060,7 @@ int bkz_tour_native(bkz_args *a, uint64_t *bdata, enum_dev_cb cb) {
   S->valid = calloc((size_t)d, sizeof(int));
   S->tmp = malloc((size_t)L * 8);
   S->rowtmp = malloc((size_t)(n + d) * L * 8);
+  S->lw = malloc((size_t)d * sizeof(int)); /* NULL tolerated */
   B.dtmp = malloc((size_t)mx * 8);
   B.btmp = malloc((size_t)mx * L * 8);
   int gmax = a->trial_batch_max > 0 ? a->trial_batch_max : 1;
@@ -1025,6 +1111,7 @@ done:
   free(S->valid);
   free(S->tmp);
   free(S->rowtmp);
+  free(S->lw);
   free(B.dtmp);
   free(B.btmp);
   free(B.mut_s);

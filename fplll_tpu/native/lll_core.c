@@ -151,6 +151,13 @@ typedef struct {
   int n_known_rows;
   uint64_t *tmp;    /* L limbs scratch */
   uint64_t *rowtmp; /* (n + d) * L limbs: atomic row-update staging */
+  int *lw;          /* per-row effective limb count (rows are stored
+                       full-L sign-extended; ops only need the top).
+                       Round-5 measurement: the conservative limb width
+                       (L ~ 4 for 30-bit bases) made every babai row op
+                       4x wider than the data — 53 of 83 in-tour LLL
+                       seconds of a block-70 tour were limb arithmetic
+                       on sign fill. */
   double delta, eta;
   long n_swaps;
   long version;     /* bumped on every exact basis write (BKZ memos) */
@@ -177,6 +184,14 @@ static void update_bf(lll_state *S, int i) {
   }
   if (!any) max_e = 0;
   S->row_expo[i] = max_e;
+  if (S->lw) {
+    /* effective limb count: |entry| < 2^max_e needs max_e+1 bits in
+       two's complement */
+    int w = (int)((max_e + 64) / 64);
+    if (w < 1) w = 1;
+    if (w > S->L) w = S->L;
+    S->lw[i] = w;
+  }
   for (int j = 0; j < S->n; j++)
     S->bf[(size_t)i * S->n + j] = fs[j] == 0.0 ? 0.0
                                                : ldexp(fs[j], es[j] - max_e);
@@ -297,7 +312,46 @@ static int bn_addmul_fused(lll_state *S, int kappa, const red_op *ops,
   uint64_t acc[MAXD];
   /* stage all columns in rowtmp and commit in one pass afterwards, so a
      column overflow leaves the row untouched (atomicity: see
-     row_addmul_we_impl) */
+     row_addmul_we_impl).
+     Arithmetic runs at the EFFECTIVE width of the involved rows (+1
+     limb for the <= 53-bit coefficients and carries): rows are stored
+     full-L sign-extended, so the first `width` limbs of any operand are
+     its exact two's-complement value, and |result| < 2^(64*w + 60) fits
+     width = w+1 limbs.  Only the sign fill beyond `width` is stored,
+     not computed. */
+  int w = S->lw ? S->lw[kappa] : L;
+  if (S->lw)
+    for (int t = 0; t < nops; t++)
+      if (S->lw[ops[t].j] > w) w = S->lw[ops[t].j];
+  int width = w + 1 > L ? L : w + 1;
+  if (width < L) {
+    /* the result provably fits `width` limbs: no overflow is possible,
+       so updates go straight to the row (no staging traffic) */
+    for (int c = 0; c < n; c++) {
+      uint64_t *dst = row(S, kappa) + (size_t)c * L;
+      memcpy(acc, dst, (size_t)width * 8);
+      for (int t = 0; t < nops; t++) {
+        const uint64_t *src = row(S, ops[t].j) + (size_t)c * L;
+        i128 carry = 0;
+        int64_t x = ops[t].lx;
+        for (int i = 0; i < width; i++) {
+          i128 cur = (i128)(uint64_t)acc[i] +
+                     (i128)x * (i128)(uint64_t)src[i] + carry;
+          acc[i] = (uint64_t)cur;
+          carry = cur >> 64;
+        }
+      }
+      memcpy(dst, acc, (size_t)width * 8);
+      {
+        uint64_t fill = (int64_t)acc[width - 1] < 0 ? ~0ULL : 0;
+        for (int i = width; i < L; i++) dst[i] = fill;
+      }
+    }
+    if (S->lw) S->lw[kappa] = width; /* upper bound; update_bf refines */
+    S->version++;
+    return 0;
+  }
+  /* full width: stage-then-commit for overflow atomicity */
   uint64_t *stage = S->rowtmp;
   for (int c = 0; c < n; c++) {
     const uint64_t *dst = row(S, kappa) + (size_t)c * L;
@@ -322,6 +376,7 @@ static int bn_addmul_fused(lll_state *S, int kappa, const red_op *ops,
     memcpy(stage + (size_t)c * L, acc, (size_t)L * 8);
   }
   memcpy(row(S, kappa), stage, (size_t)n * L * 8);
+  if (S->lw) S->lw[kappa] = L;
   S->version++;
   return 0;
 }
@@ -455,6 +510,12 @@ static void move_row(lll_state *S, int old_r, int new_r, double *dtmp,
             (size_t)(old_r - new_r) * sizeof(long));
     S->row_expo[new_r] = e;
   }
+  if (S->lw) {
+    int w = S->lw[old_r];
+    memmove(S->lw + new_r + 1, S->lw + new_r,
+            (size_t)(old_r - new_r) * sizeof(int));
+    S->lw[new_r] = w;
+  }
   rot_rows_right(S->mu, S->d, new_r, old_r, dtmp);
   rot_rows_right(S->r, S->d, new_r, old_r, dtmp);
   rot_rows_right(S->bf, S->n, new_r, old_r, dtmp);
@@ -503,6 +564,7 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
   S.valid = calloc((size_t)d, sizeof(int));
   S.tmp = malloc((size_t)L * 8);
   S.rowtmp = malloc((size_t)(n + d) * L * 8);
+  S.lw = malloc((size_t)d * sizeof(int)); /* NULL tolerated: full-L ops */
   double *dtmp = malloc((size_t)(n > d ? n : d) * 8);
   uint64_t *btmp = malloc((size_t)(n > d ? n : d) * L * 8);
   int status = RED_SUCCESS;
@@ -561,6 +623,7 @@ int lll_fast(int d, int n, int L, uint64_t *bdata, uint64_t *udata,
 done:
   if (n_swaps_out) *n_swaps_out = S.n_swaps;
   free(S.bf); free(S.gf); free(S.mu); free(S.r); free(S.row_expo);
-  free(S.valid); free(S.tmp); free(S.rowtmp); free(dtmp); free(btmp);
+  free(S.valid); free(S.tmp); free(S.rowtmp); free(S.lw);
+  free(dtmp); free(btmp);
   return status;
 }
