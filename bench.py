@@ -179,6 +179,10 @@ def measure_end_to_end(block: int = 40, d: int = 80, tours: int = 1,
             return orig_bkz(self, *a, **k)
         finally:
             nodes_holder["nodes"] = nodes_holder.get("nodes", 0) + self.nodes
+            nodes_holder["dev"] = nodes_holder.get("dev", 0) + \
+                getattr(self, "dev_nodes", 0)
+            nodes_holder["g_max"] = max(nodes_holder.get("g_max", 0),
+                                        getattr(self, "g_max", 0))
 
     BKZReduction.bkz = spy
     try:
@@ -188,6 +192,8 @@ def measure_end_to_end(block: int = 40, d: int = 80, tours: int = 1,
     finally:
         BKZReduction.bkz = orig_bkz
     nodes = nodes_holder.get("nodes", 0)
+    measure_end_to_end.last_dev_nodes = nodes_holder.get("dev", 0)
+    measure_end_to_end.last_g_max = nodes_holder.get("g_max", 0)
     return dt, nodes, nodes / max(dt, 1e-9)
 
 
@@ -208,6 +214,139 @@ def measure_bkz20_dim60(seed: int = 13) -> float:
     bkz_reduction(b, BKZParam(block_size=20, flags=BKZ_MAX_LOOPS,
                               max_loops=1))
     return time.time() - t0
+
+
+def measure_grouped_trials(bs: int = 64, G: int = 8, seed: int = 11):
+    """The grouped-trial launch on the device's real estate (round-5
+    VERDICT item 9): G rerandomized bases of one block-`bs` window
+    enumerated in ONE kernel launch with a shared shrinking bound,
+    against the native C core walking a single trial.  Returns (device
+    wall for all G trials, union nodes, device nodes/s, C wall for one
+    trial, C nodes)."""
+    import random
+
+    from fplll_tpu.algs.bkz import bkz_reduction
+    from fplll_tpu.algs.bkz_param import BKZParam, load_strategies_json
+    from fplll_tpu.algs.wrapper import lll_reduction
+    from fplll_tpu.core.gso import MatGSO
+    from fplll_tpu.defs import BKZ_GH_BND, BKZ_MAX_LOOPS, GSO_ROW_EXPO
+    from fplll_tpu.enum.tpu import _grouped_device_windows
+    from fplll_tpu.native import native_enumerate
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops.gen import gen_qary_bits
+
+    RandGen.init_with_seed(seed)
+    b = gen_qary_bits(80, 40, 30)
+    lll_reduction(b)
+    strategies = load_strategies_json("default.json")
+    bkz_reduction(b, BKZParam(40, strategies,
+                              flags=BKZ_MAX_LOOPS | BKZ_GH_BND,
+                              max_loops=1))
+    prune = np.asarray(strategies[bs].pruning_parameters[0].coefficients)
+    rng = random.Random(5)
+    muts, rdiags, maxds = [], [], []
+    for g in range(G):
+        bb = b.copy()
+        if g:
+            for _ in range(3 * bs):
+                i = rng.randrange(1, bs)
+                j = rng.randrange(1, bs)
+                if i != j:
+                    bb.a[i] = bb.a[i] + \
+                        (1 if rng.random() < .5 else -1) * bb.a[j]
+            lll_reduction(bb)
+        m0 = MatGSO(bb, flags=GSO_ROW_EXPO)
+        m0.update_gso()
+        mut, rdiag, _ = m0.export_mu_r(0, bs)
+        logrd = float(np.mean(np.log(rdiag)))
+        tgh = math.exp(math.lgamma(bs / 2 + 1.0) * 2 / bs) / math.pi
+        maxds.append(min(0.99 * rdiag[0], tgh * 1.1 * math.exp(logrd)))
+        muts.append(np.asarray(mut))
+        rdiags.append(np.asarray(rdiag))
+    muts = np.stack(muts)
+    rdiags = np.stack(rdiags)
+    prunes = np.stack([prune] * G)
+    maxds = np.asarray(maxds)
+    out = _grouped_device_windows(muts, rdiags, prunes, maxds)
+    if out is None:
+        return None
+    best_dt, nodes = float("inf"), 0.0
+    for _ in range(3):
+        t0 = time.time()
+        out = _grouped_device_windows(muts, rdiags, prunes, maxds)
+        dt = time.time() - t0
+        if dt < best_dt:
+            best_dt, nodes = dt, out[2]
+    t0 = time.time()
+    ref = native_enumerate(muts[0], rdiags[0], prune, None, float(maxds[0]),
+                           True, False, False)
+    c_dt = time.time() - t0
+    c_nodes = float(ref[4].sum()) if ref else 0.0
+    return best_dt, nodes, nodes / max(best_dt, 1e-9), c_dt, c_nodes
+
+
+def measure_hkz_ab(d: int = 70, seed: int = 17):
+    """HKZ-tail e2e A/B (round-5 VERDICT item 1 'done' criterion): a
+    block-d reduction of a dim-d basis (every window full-size) with the
+    device enabled vs disabled, same seed.  Returns (device wall,
+    device-off wall, dev_share, g_max)."""
+    import os
+
+    from fplll_tpu.algs.bkz import bkz_reduction
+    from fplll_tpu.algs.bkz_param import BKZParam, load_strategies_json
+    from fplll_tpu.algs.wrapper import lll_reduction
+    from fplll_tpu.defs import BKZ_GH_BND, BKZ_MAX_LOOPS
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops.gen import gen_qary_bits
+
+    strategies = load_strategies_json("default.json")
+
+    def run():
+        RandGen.init_with_seed(seed)
+        b = gen_qary_bits(d, d // 2, 30)
+        lll_reduction(b)
+        for warm in (40, 50, 60):
+            if warm < d:
+                bkz_reduction(b, BKZParam(warm, strategies,
+                                          flags=BKZ_MAX_LOOPS | BKZ_GH_BND,
+                                          max_loops=1))
+        from fplll_tpu.algs.bkz import BKZReduction
+        stats = {}
+        orig = BKZReduction.bkz
+
+        def spy(self, *a, **k):
+            try:
+                return orig(self, *a, **k)
+            finally:
+                stats["nodes"] = stats.get("nodes", 0) + self.nodes
+                stats["dev"] = stats.get("dev", 0) + \
+                    getattr(self, "dev_nodes", 0)
+                stats["g_max"] = max(stats.get("g_max", 0),
+                                     getattr(self, "g_max", 0))
+
+        BKZReduction.bkz = spy
+        try:
+            t0 = time.time()
+            bkz_reduction(b, BKZParam(d, strategies,
+                                      flags=BKZ_MAX_LOOPS | BKZ_GH_BND,
+                                      max_loops=1))
+            dt = time.time() - t0
+        finally:
+            BKZReduction.bkz = orig
+        return dt, stats
+
+    dt_dev, st_dev = run()
+    old = os.environ.get("FPLLL_TPU_HYBRID_NODES")
+    os.environ["FPLLL_TPU_HYBRID_NODES"] = "0"
+    try:
+        dt_off, _ = run()
+    finally:
+        if old is None:
+            os.environ.pop("FPLLL_TPU_HYBRID_NODES", None)
+        else:
+            os.environ["FPLLL_TPU_HYBRID_NODES"] = old
+    share = st_dev.get("dev", 0) / max(st_dev.get("nodes", 1), 1)
+    return dt_dev, dt_off, share, st_dev.get("g_max", 0)
 
 
 def measure_block60_window(seed: int = 11):
@@ -314,8 +453,35 @@ def main() -> int:
                 extra["bkz2_block60_dim80_wall_s"] = round(dt, 2)
                 extra["bkz2_block60_dim80_nodes"] = int(nodes)
                 extra["bkz2_block60_nodes_per_sec"] = round(rate, 1)
+                extra["bkz2_block60_dev_nodes"] = \
+                    int(measure_end_to_end.last_dev_nodes)
             except Exception as e:
                 extra["block60_error"] = repr(e)
+        # round-5 device-estate legs: grouped rerandomized trials (the
+        # one-launch G-window path) and the HKZ-70 e2e device A/B
+        if time.time() - t_start < budget_s:
+            try:
+                g_out = measure_grouped_trials()
+                if g_out is not None:
+                    gdt, gnodes, grate, cdt, cnodes = g_out
+                    extra["grouped8_block64_device_wall_s"] = round(gdt, 3)
+                    extra["grouped8_block64_union_nodes"] = int(gnodes)
+                    extra["grouped8_block64_device_nodes_per_sec"] = \
+                        round(grate, 1)
+                    extra["grouped_c_single_trial_wall_s"] = round(cdt, 3)
+                    extra["grouped_c_single_trial_nodes"] = int(cnodes)
+            except Exception as e:
+                extra["grouped_error"] = repr(e)
+        if time.time() - t_start < budget_s and \
+                os.environ.get("FPLLL_BENCH_HKZ", "1") != "0":
+            try:
+                ddt, odt, share, gmax = measure_hkz_ab()
+                extra["hkz70_device_wall_s"] = round(ddt, 2)
+                extra["hkz70_device_off_wall_s"] = round(odt, 2)
+                extra["hkz70_device_node_share"] = round(share, 4)
+                extra["hkz70_g_max"] = gmax
+            except Exception as e:
+                extra["hkz_error"] = repr(e)
         # BASELINE.md config 3: plain BKZ-20, dim 60, no pruning
         try:
             extra["bkz20_dim60_wall_s"] = round(measure_bkz20_dim60(), 2)

@@ -412,7 +412,7 @@ class TPUEnumerator:
         ceiling the caller must chunk-and-recurse (_deep_enumerate)
         instead of the r03 forced expansion whose cap was advisory."""
         target = self.target_root_factor * self.batch
-        if subsols is None and start is None:
+        if subsols is None and start is None and hard_cap >= (1 << 22):
             # native expansion (enum_core.c): same layout and node counts,
             # ~50x faster than the per-level numpy loop — this was the
             # dominant per-window cost of device-escalated BKZ windows
@@ -507,7 +507,8 @@ class TPUEnumerator:
 
         roots_x, roots_a, roots_pd, m_real = self._gen_roots(
             mut, rdiag, prune, cp0, A, d, is_svp, dual=dual,
-            subsols=host_subsols)
+            subsols=host_subsols,
+            hard_cap=getattr(self, "deep_hard_cap", 1 << 22))
         if m_real > self.max_device_levels:
             md = self._deep_enumerate(mut, rdiag, prune, cp0, A, maxdist,
                                       d, is_svp, evaluator, count_mode,
@@ -533,6 +534,7 @@ class TPUEnumerator:
         md = float(maxdist_in)
         CH = 2048
         cap = 1 << 16
+        self._deep_slices = 0     # diagnostics: launches via this path
         stack = [(xs, als, pd, height)]
         while stack:
             fx, fa, fpd, lh = stack.pop()
@@ -571,6 +573,7 @@ class TPUEnumerator:
                                 "memory ceiling at a single level")
                     stack.append((rx, ra, rpd, m2))
                 else:
+                    self._deep_slices += 1
                     md = self._launch(mut, rdiag, prune, cp0, bound, md,
                                       d, is_svp, evaluator, count_mode,
                                       dual, findsubsols, host_subsols,

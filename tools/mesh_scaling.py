@@ -62,8 +62,29 @@ def main() -> int:
         rows[n] = {"nodes": nodes, "wall_s": round(dt, 3),
                    "nodes_per_s": round(nodes / max(dt, 1e-9), 1)}
         print(f"devices={n}: {rows[n]}", flush=True)
+
+    # pod-readiness bookkeeping: radius-exchange cadence sensitivity at
+    # the full mesh width (staleness tolerance of the pmin protocol,
+    # cf. /root/reference/fplll/enum-parallel/enumeration.h:68-83).
+    # Larger sync_steps = fewer collectives but staler bounds (wasted
+    # nodes); the table seeds the tuning when pod hardware exists.
+    sync_rows = {}
+    if os.environ.get("FPLLL_TPU_MESH_SYNC_SWEEP", "1") != "0":
+        for ss in (512, 1024, 2048, 4096, 8192):
+            se = ShardedEnumerator(make_enum_mesh(ndev_all),
+                                   batch_per_device=256,
+                                   steps_per_sweep=ss)
+            ev = FastEvaluator(nr_solutions=1)
+            se.enumerate(mut, rdiag, None, np.zeros(d), radius, True, ev)
+            t0 = time.time()
+            ev = FastEvaluator(nr_solutions=1)
+            se.enumerate(mut, rdiag, None, np.zeros(d), radius, True, ev)
+            dt = time.time() - t0
+            nodes = int(se.nodes.sum())
+            sync_rows[ss] = {"nodes": nodes, "wall_s": round(dt, 3)}
+            print(f"sync_steps={ss}: {sync_rows[ss]}", flush=True)
     print(json.dumps({"dim": d, "platform": jax.default_backend(),
-                      "rows": rows}))
+                      "rows": rows, "sync_sweep": sync_rows}))
     return 0
 
 
