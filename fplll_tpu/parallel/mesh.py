@@ -589,17 +589,36 @@ class ShardedEnumerator:
             mut, rdiag, prune_arr, cp0, float(maxdist), d, is_svp,
             dual=dual, subsols=host_subsols)
         if m_real > self.max_device_levels:
-            # trees taller than the kernel run through the single-chip
-            # chunked deep path (TPUEnumerator._deep_enumerate); sharding
-            # its bounded slices across the mesh is future work
+            # trees taller than the kernel run through the chunked deep
+            # path (TPUEnumerator._deep_enumerate), with every bounded
+            # slice launched over the MESH instead of a single chip: the
+            # helper's launch hook is rebound to _mesh_launch, whose
+            # positional contract matches TPUEnumerator._launch
             helper.dtype = self.dtype
             helper.bound_slack = self.bound_slack
+            helper._launch = self._mesh_launch
             md = helper._deep_enumerate(
                 mut, rdiag, prune_arr, cp0, float(maxdist), maxdist, d,
                 is_svp, evaluator, count_mode, dual, findsubsols,
                 host_subsols, roots_x, roots_a, roots_pd, m_real)
-            self.last_steals = 0
             return md, self.nodes
+        md = self._mesh_launch(mut, rdiag, prune_arr, cp0, float(maxdist),
+                               maxdist, d, is_svp, evaluator, count_mode,
+                               dual, findsubsols, host_subsols, roots_x,
+                               roots_a, roots_pd, m_real)
+        return md, self.nodes
+
+    def _mesh_launch(self, mut, rdiag, prune_arr, cp0, A, maxdist_in, d,
+                     is_svp, evaluator, count_mode, dual, findsubsols,
+                     host_subsols, roots_x, roots_a, roots_pd, m_real):
+        """One sharded launch over the mesh for a single root batch
+        (positional contract of TPUEnumerator._launch so the deep-tree
+        slicer can drive either engine); returns the updated maxdist in
+        the caller's scale."""
+        from ..jaxsetup import jnp
+        from ..enum.tpu import TPUEnumerator
+
+        maxdist = maxdist_in
         order = np.argsort(roots_pd)
         roots_x, roots_a, roots_pd = (roots_x[order], roots_a[order],
                                       roots_pd[order])
@@ -650,7 +669,7 @@ class ShardedEnumerator:
         rpd_flat = rpd_sh.reshape(self.n_dev * R_per)
 
         B = self.batch_per_device
-        A0 = float(maxdist) * self.bound_slack
+        A0 = float(A) * self.bound_slack
 
         dtype_str = "dd32" if dt == "dd32" else str(jnp.dtype(dt))
         run = _build_sharded_run(
@@ -703,12 +722,12 @@ class ShardedEnumerator:
             for i in np.where(found)[0]]
         best_overall.sort(key=lambda t: t[0])
         if findsubsols:
-            helper._report_subsols(evaluator, out, host_subsols, m_real,
-                                   nfix, d)
+            TPUEnumerator._report_subsols(self, evaluator, out,
+                                          host_subsols, m_real, nfix, d)
         maxdist_out = maxdist
         if count_mode:
             evaluator.sol_count += int(np.asarray(out["sol_count"]).sum())
-            return maxdist_out, self.nodes
+            return maxdist_out
         for dist, full in best_overall[:max(evaluator.max_sols * 4, 8)]:
             maxdist_out = evaluator.eval_sol(list(full), dist, maxdist_out)
-        return maxdist_out, self.nodes
+        return maxdist_out
