@@ -163,6 +163,11 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
     (grid, 1) array."""
     rq = rq_nfixp >= 0
     n_state = _N_STATE + (2 if rq else 0)
+    # trace-time ablation knob (perf diagnosis ONLY — wrong results):
+    # "nocs" skips the cs update, "nofetch" replaces the fused matmul
+    # with constants, "noleaf" skips the leaf-range math, "nosave"
+    # skips the descend save/count writes
+    _ablate = os.environ.get("FPLLL_TPU_PALLAS_ABLATE", "")
 
     def kernel(Mx_ref, A_ref, *refs):
         ash_ref = None
@@ -250,7 +255,10 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             c0 = cs_o[0, :] - xk * mu10
             bound0 = pr0 * A
             room = bound0 - newdist
-            w = jnp.sqrt(jnp.maximum(room, zero) / r0)
+            if "noleaf" in _ablate:
+                w = room
+            else:
+                w = jnp.sqrt(jnp.maximum(room, zero) / r0)
             lo = jnp.ceil(c0 - w)
             hi = jnp.floor(c0 + w)
 
@@ -327,8 +335,11 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             # exact f32 mu/rdiag/prune values (default MXU precision
             # truncates operands to bf16; Mosaic does not support
             # per-operand precision, which could halve the passes here)
-            col = jax.lax.dot(Mx, oh_self, preferred_element_type=_F,
-                              precision=jax.lax.Precision.HIGHEST)
+            if "nofetch" in _ablate:
+                col = jnp.broadcast_to(Mx_ref[:, 0:1], (m + _XR, B))
+            else:
+                col = jax.lax.dot(Mx, oh_self, preferred_element_type=_F,
+                                  precision=jax.lax.Precision.HIGHEST)
             r_sel = col[m, :]
             p_sel = col[m + 1, :]
             r_dn = col[m + 2, :]
@@ -368,16 +379,18 @@ def _make_chunk_kernel(m: int, B: int, chunk: int, is_svp: bool,
             # ascend target center needs no post-update read: cs_new[ks] =
             # cs_old[ks] + xs*col[ks] and col[ks] = 0 (strict upper tri).
             coeff = jnp.where(descend, -xk, jnp.where(asc, xs, zero))
-            cs_o[:] = cs_o[:] + coeff[None, :] * col[:m, :]
+            if "nocs" not in _ablate:
+                cs_o[:] = cs_o[:] + coeff[None, :] * col[:m, :]
             c_t = jnp.where(descend, c_child, csel)
 
             # ---- saves by descending lanes; per-level node counters -----
             save = oh_sel & descend[None, :]
-            x_o[:] = jnp.where(save, xk[None, :], x_o[:])
-            pd_o[:] = jnp.where(save, pdk[None, :], pd_o[:])
-            # count every passing node at its level (ok lanes have ks==kc)
-            nodes_o[:] = nodes_o[:] + jnp.where(oh_sel & ok[None, :], one,
-                                                zero)
+            if "nosave" not in _ablate:
+                x_o[:] = jnp.where(save, xk[None, :], x_o[:])
+                pd_o[:] = jnp.where(save, pdk[None, :], pd_o[:])
+                # count every passing node at its level
+                nodes_o[:] = nodes_o[:] + jnp.where(oh_sel & ok[None, :],
+                                                    one, zero)
 
             # ---- new register state -------------------------------------
             # sibling (leaf/barren stay in level; ascend to ks after
