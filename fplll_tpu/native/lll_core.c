@@ -324,6 +324,27 @@ static int bn_addmul_fused(lll_state *S, int kappa, const red_op *ops,
     for (int t = 0; t < nops; t++)
       if (S->lw[ops[t].j] > w) w = S->lw[ops[t].j];
   int width = w + 1 > L ? L : w + 1;
+  if (width == 2 && L > 2) {
+    /* dominant case (entries fit one limb): the whole column value is
+       a signed 128-bit scalar — one mul-add chain per (op, column),
+       no limb loop, no carry bookkeeping */
+    for (int c = 0; c < n; c++) {
+      uint64_t *dst = row(S, kappa) + (size_t)c * L;
+      i128 acc2 = (i128)((u128)dst[1] << 64 | dst[0]);
+      for (int t = 0; t < nops; t++) {
+        const uint64_t *src = row(S, ops[t].j) + (size_t)c * L;
+        acc2 += (i128)ops[t].lx *
+                (i128)(int64_t)src[0]; /* src fits 1 limb (lw <= 1) */
+      }
+      dst[0] = (uint64_t)acc2;
+      dst[1] = (uint64_t)(acc2 >> 64);
+      uint64_t fill = (int64_t)dst[1] < 0 ? ~0ULL : 0;
+      for (int i = 2; i < L; i++) dst[i] = fill;
+    }
+    if (S->lw) S->lw[kappa] = 2;
+    S->version++;
+    return 0;
+  }
   if (width < L) {
     /* the result provably fits `width` limbs: no overflow is possible,
        so updates go straight to the row (no staging traffic) */
