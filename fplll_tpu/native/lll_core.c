@@ -207,10 +207,18 @@ static void invalidate_gram(lll_state *S, int i) {
 static double get_gram(lll_state *S, int i, int j) {
   double *g = &S->gf[(size_t)i * S->d + j];
   if (isnan(*g)) {
-    double acc = 0.0;
     const double *bi = S->bf + (size_t)i * S->n;
     const double *bj = S->bf + (size_t)j * S->n;
-    for (int t = 0; t < S->n; t++) acc += bi[t] * bj[t];
+    double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+    int t = 0;
+    for (; t + 4 <= S->n; t += 4) {
+      a0 += bi[t] * bj[t];
+      a1 += bi[t + 1] * bj[t + 1];
+      a2 += bi[t + 2] * bj[t + 2];
+      a3 += bi[t + 3] * bj[t + 3];
+    }
+    for (; t < S->n; t++) a0 += bi[t] * bj[t];
+    double acc = (a0 + a1) + (a2 + a3);
     *g = acc;
     S->gf[(size_t)j * S->d + i] = acc;
   }
@@ -225,7 +233,24 @@ static int update_gso_row(lll_state *S, int i, int last_j) {
   for (; j <= last_j; j++) {
     double t = get_gram(S, i, j);
     const double *mu_j = S->mu + (size_t)j * S->d;
-    for (int k = 0; k < j; k++) t -= mu_j[k] * r_i[k];
+    /* 4-lane accumulation so the compiler can keep the subtractions in
+       independent FMA chains (the strictly-sequential sum serialized on
+       FP latency; this loop is the CGS recurrence hot spot,
+       gso_interface.cpp:131-164). The changed summation order moves mu
+       by <= a few ulp — the engines' A/B parity gates tolerate it
+       (numpy's pairwise sums differ the same way). */
+    {
+      double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+      int k = 0;
+      for (; k + 4 <= j; k += 4) {
+        a0 += mu_j[k] * r_i[k];
+        a1 += mu_j[k + 1] * r_i[k + 1];
+        a2 += mu_j[k + 2] * r_i[k + 2];
+        a3 += mu_j[k + 3] * r_i[k + 3];
+      }
+      for (; k < j; k++) a0 += mu_j[k] * r_i[k];
+      t -= (a0 + a1) + (a2 + a3);
+    }
     r_i[j] = t;
     if (i > j) {
       double m = t / S->r[(size_t)j * S->d + j];
