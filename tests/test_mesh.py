@@ -304,3 +304,43 @@ def test_mesh_deep_tree_slices_sharded():
     se2.enumerate(mut, rdiag, None, np.zeros(36), A, True, ev2)
     assert not ev2.empty()
     assert abs(ev2.begin()[0] - ref[1]) <= 1e-9 * ref[1]
+
+
+def test_mesh_deep_tree_slices_dd32():
+    """The dd32 (certified f32-pair) state also rides the mesh-sharded
+    deep-tree slices (pod-readiness item: no silent f64 fallback for
+    proved searches above the kernel height)."""
+    import math
+
+    from fplll_tpu.algs.wrapper import lll_reduction
+    from fplll_tpu.core.gso import MatGSO
+    from fplll_tpu.defs import GSO_INT_GRAM
+    from fplll_tpu.enum.evaluator import FastEvaluator
+    from fplll_tpu.native import native_enumerate
+    from fplll_tpu.nr.fctx import MPCtx
+    from fplll_tpu.nr.rng import RandGen
+    from fplll_tpu.ops.gen import gen_qary_bits
+    from fplll_tpu.parallel.mesh import ShardedEnumerator, make_enum_mesh
+
+    RandGen.init_with_seed(21)
+    b = gen_qary_bits(36, 18, 10)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    mut, rdiag, _ = gso.export_mu_r(0, 36)
+    mut = np.asarray(mut)
+    rdiag = np.asarray(rdiag)
+    logrd = float(np.mean(np.log(rdiag)))
+    log_ball = 18.0 * math.log(math.pi) - math.lgamma(19.0)
+    gh2 = math.exp(logrd - 2.0 * log_ball / 36)
+    A = 1.1 * gh2
+
+    ref = native_enumerate(mut, rdiag, None, None, A, True, False, False)
+    assert ref is not None
+
+    se = ShardedEnumerator(make_enum_mesh(), batch_per_device=128,
+                           max_device_levels=16, dtype="dd32")
+    ev = FastEvaluator(nr_solutions=1)
+    se.enumerate(mut, rdiag, None, np.zeros(36), A, True, ev)
+    assert not ev.empty()
+    assert abs(ev.begin()[0] - ref[1]) <= 1e-7 * ref[1]
