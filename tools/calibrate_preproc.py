@@ -33,7 +33,11 @@ def candidate_chains(beta: int):
     # without preprocessing already measured ~350x slower; at block 70 a
     # single unpreprocessed window can run for hours)
     outs = [[]] if beta < 55 else []
-    for gap in (24, 20, 16, 12):
+    # round-5 beta-80 measurement: cost grows monotonically with the
+    # chain block (gap 24 best of the old set), so big blocks probe
+    # wider gaps too
+    gaps = (32, 28, 24, 20, 16, 12) if beta >= 75 else (24, 20, 16, 12)
+    for gap in gaps:
         if beta - gap >= 10:
             outs.append([beta - gap])
     # two-stage chains for big blocks (strategizer-style ladders)
