@@ -335,11 +335,18 @@ def measure_hkz_ab(d: int = 70, seed: int = 17):
             BKZReduction.bkz = orig
         return dt, stats
 
+    # min-of-2 per side: the axon tunnel stalls a device launch for
+    # 30-150 s about once per ~30 launches, which a single-pass e2e leg
+    # cannot absorb (PERF_NOTES round 5)
     dt_dev, st_dev = run()
+    dt2, st2 = run()
+    if dt2 < dt_dev:
+        dt_dev, st_dev = dt2, st2
     old = os.environ.get("FPLLL_TPU_HYBRID_NODES")
     os.environ["FPLLL_TPU_HYBRID_NODES"] = "0"
     try:
         dt_off, _ = run()
+        dt_off = min(dt_off, run()[0])
     finally:
         if old is None:
             os.environ.pop("FPLLL_TPU_HYBRID_NODES", None)
