@@ -48,6 +48,27 @@ def gsa_shape(beta: int):
     return [math.exp(-4.0 * ld * i) for i in range(beta)]
 
 
+SIMULATED_SHAPE_MIN_BLOCK = 71
+
+
+def block_shape(beta: int):
+    """GSO shape the pruner optimizes over.  Blocks above ~70 use the
+    Chen-Nguyen BKZ-simulator profile of a basis preprocessed at this
+    block's strongest preprocessing stage (the GSA slope is a poor model
+    there: real profiles bulge at the head and the strategizer that
+    produced the reference's shipped strategies worked from measured
+    profiles, /root/reference/NEWS:9-10); smaller blocks keep the GSA
+    shape, which the round-4 calibration validated against measured
+    node counts."""
+    if beta >= SIMULATED_SHAPE_MIN_BLOCK:
+        chain = preproc_sizes(beta)
+        pre = max(chain) if chain else 0
+        if pre >= 40:
+            from fplll_tpu.algs.simulator import simulated_block_shape
+            return simulated_block_shape(beta, pre)
+    return gsa_shape(beta)
+
+
 def gh_of(r):
     n = len(r)
     logvol = sum(math.log(x) for x in r)
@@ -141,7 +162,7 @@ def gen_block(beta: int):
                                 PRUNER_START_FROM_INPUT)
     from fplll_tpu.algs.bkz_param import PruningParams
 
-    r = gsa_shape(beta)
+    r = block_shape(beta)
     gh = gh_of(r)
     sets = []
     warm = PruningParams()
