@@ -83,7 +83,7 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd,
               A0, own_lens,
               m: int, is_svp: bool, count_mode: bool, sync_steps: int,
               max_rounds: int, batch: int, dual: bool = False,
-              findsubsols: bool = False):
+              findsubsols: bool = False, steal: bool = True):
     """Whole sharded enumeration in ONE launch: every device advances its
     lanes for sync_steps, then the shrinking radius is pmin-exchanged over
     ICI and a psum'd work flag decides termination — the collective
@@ -225,12 +225,15 @@ def _mesh_run(mut, rdiag, prune, mut_fix, cp0, roots_x, roots_a, roots_pd,
             s["A"] = jax.lax.pmin(jnp.minimum(s["A"], jnp.min(
                 jnp.where(jnp.isfinite(s["best_dist"]), s["best_dist"],
                           jnp.inf)).astype(s["A"].dtype)), "enum")
-        # sweep-boundary work rebalancing over the replicated queue
-        n_dead = jnp.sum((~s["active"]).astype(jnp.int32))
-        new_cursor, new_end, stole = _steal_plan(s["cursor"], s["own_end"],
-                                                 n_dead)
-        s["cursor"], s["own_end"] = new_cursor, new_end
-        s["steals"] = s["steals"] + stole.astype(jnp.int32)
+        if steal:
+            # sweep-boundary work rebalancing over the replicated queue
+            # (trial mode disables this: each shard's stripe holds roots
+            # of a DIFFERENT problem, so ranges are not interchangeable)
+            n_dead = jnp.sum((~s["active"]).astype(jnp.int32))
+            new_cursor, new_end, stole = _steal_plan(s["cursor"],
+                                                     s["own_end"], n_dead)
+            s["cursor"], s["own_end"] = new_cursor, new_end
+            s["steals"] = s["steals"] + stole.astype(jnp.int32)
         local_work = jnp.any(s["active"]) | (s["cursor"] < s["own_end"])
         s["work"] = jax.lax.psum(local_work.astype(jnp.int32), "enum") > 0
         s["rounds"] = s["rounds"] + 1
@@ -248,7 +251,7 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
                  own_lens,
                  m: int, is_svp: bool, count_mode: bool, sync_steps: int,
                  max_rounds: int, batch: int, dual: bool = False,
-                 findsubsols: bool = False):
+                 findsubsols: bool = False, steal: bool = True):
     """dd32 (compensated f32-pair) variant of _mesh_run: certified
     proved-SVP/CVP trees run sharded with the ~48-bit bound carried as a
     (hi, lo) pair. The radius exchange picks ONE owning shard
@@ -430,11 +433,12 @@ def _mesh_run_dd(mut_hi, mut_lo, rdiag_hi, rdiag_lo, prune_hi, prune_lo,
             pick = idx.astype(jnp.int32) == win
             s["A"] = jax.lax.psum(jnp.where(pick, A_hi, 0.0), "enum")
             s["A_lo"] = jax.lax.psum(jnp.where(pick, A_lo, 0.0), "enum")
-        n_dead = jnp.sum((~s["active"]).astype(jnp.int32))
-        new_cursor, new_end, stole = _steal_plan(s["cursor"], s["own_end"],
-                                                 n_dead)
-        s["cursor"], s["own_end"] = new_cursor, new_end
-        s["steals"] = s["steals"] + stole.astype(jnp.int32)
+        if steal:
+            n_dead = jnp.sum((~s["active"]).astype(jnp.int32))
+            new_cursor, new_end, stole = _steal_plan(s["cursor"],
+                                                     s["own_end"], n_dead)
+            s["cursor"], s["own_end"] = new_cursor, new_end
+            s["steals"] = s["steals"] + stole.astype(jnp.int32)
         local_work = jnp.any(s["active"]) | (s["cursor"] < s["own_end"])
         s["work"] = jax.lax.psum(local_work.astype(jnp.int32), "enum") > 0
         s["rounds"] = s["rounds"] + 1
@@ -452,13 +456,24 @@ _RUN_CACHE = {}
 def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
                        count_mode: bool, sync_steps: int, batch: int,
                        dtype_str: str, dual: bool = False,
-                       findsubsols: bool = False):
+                       findsubsols: bool = False, trial_mode: bool = False):
     """Jitted shard_mapped whole-search launch, cached per static config
     (shapes are bucketed by the caller so BKZ's repeated block calls hit
-    this cache instead of retracing)."""
+    this cache instead of retracing).
+
+    trial_mode: every shard enumerates a DIFFERENT problem (grouped
+    rerandomized trials of one lattice, the pod-scale analogue of the
+    single-chip grouped launch in enum/tpu._grouped_device_windows): the
+    problem arrays carry a leading per-device axis sharded on "enum",
+    the root-queue stripes hold per-trial roots, work stealing is off
+    (stripes are not interchangeable) and the pmin radius exchange
+    implements the shared shrinking bound across trials — valid exactly
+    because all trials are bases of the SAME lattice (enumlib's
+    many-walkers-one-bound semantics, reference
+    enum-parallel/enumeration.h:412-505)."""
     dev_key = tuple(d.id for d in mesh.devices.flat)
     key = (dev_key, m, nfix, is_svp, count_mode, sync_steps, batch,
-           dtype_str, dual, findsubsols)
+           dtype_str, dual, findsubsols, trial_mode)
     if key in _RUN_CACHE:
         return _RUN_CACHE[key]
 
@@ -493,30 +508,42 @@ def _build_sharded_run(mesh: Mesh, m: int, nfix: int, is_svp: bool,
         def shard_fn(mut_h, mut_l, rdiag_h, rdiag_l, prune_h, prune_l,
                      fix_h, fix_l, cp0_h, cp0_l, rx_a, ra_a, rpd_h, rpd_l,
                      A_h, A_l, lens_a):
+            if trial_mode:
+                (mut_h, mut_l, rdiag_h, rdiag_l, prune_h, prune_l,
+                 fix_h, fix_l, cp0_h, cp0_l) = (
+                    a[0] for a in (mut_h, mut_l, rdiag_h, rdiag_l, prune_h,
+                                   prune_l, fix_h, fix_l, cp0_h, cp0_l))
             full = _mesh_run_dd(
                 mut_h, mut_l, rdiag_h, rdiag_l, prune_h, prune_l,
                 fix_h, fix_l, cp0_h, cp0_l, rx_a, ra_a, rpd_h, rpd_l,
                 A_h, A_l, lens_a, m=m, is_svp=is_svp,
                 count_mode=count_mode,
                 sync_steps=sync_steps, max_rounds=1 << 22, batch=batch,
-                dual=dual, findsubsols=findsubsols)
+                dual=dual, findsubsols=findsubsols, steal=not trial_mode)
             return finalize(full)
 
         # roots are REPLICATED (work stealing lets any shard walk any
         # root); shard i's initial stripe is [i*R_per, i*R_per+lens[i])
-        in_specs = (P(),) * 10 + (P(), P(), P(), P()) + (P(), P(), P())
+        prob = P("enum") if trial_mode else P()
+        in_specs = (prob,) * 10 + (P(), P(), P(), P()) + (P(), P(), P())
     else:
         def shard_fn(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a, rx_a, ra_a,
                      rpd_a, A_a, lens_a):
+            if trial_mode:
+                mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a = (
+                    a[0] for a in (mut_a, rdiag_a, prune_a, mut_fix_a,
+                                   cp0_a))
             full = _mesh_run(mut_a, rdiag_a, prune_a, mut_fix_a, cp0_a,
                              rx_a, ra_a, rpd_a, A_a, lens_a, m=m,
                              is_svp=is_svp,
                              count_mode=count_mode, sync_steps=sync_steps,
                              max_rounds=1 << 22, batch=batch, dual=dual,
-                             findsubsols=findsubsols)
+                             findsubsols=findsubsols,
+                             steal=not trial_mode)
             return finalize(full)
 
-        in_specs = (P(), P(), P(), P(), P(), P(), P(),
+        prob = P("enum") if trial_mode else P()
+        in_specs = (prob, prob, prob, prob, prob, P(), P(),
                     P(), P(), P())
 
     lane = P("enum")
@@ -731,3 +758,124 @@ class ShardedEnumerator:
         for dist, full in best_overall[:max(evaluator.max_sols * 4, 8)]:
             maxdist_out = evaluator.eval_sol(list(full), dist, maxdist_out)
         return maxdist_out
+
+
+def mesh_enumerate_trials(mesh: Mesh, muts, rdiags, prunes, maxdists,
+                          batch_per_device: int = 256,
+                          sync_steps: int = 1024,
+                          target_root_factor: int = 8):
+    """Enumerate G rerandomized trials of ONE window, one trial per mesh
+    device, sharing the shrinking bound over ICI — the pod-scale layout
+    of the single-chip grouped launch (enum/tpu._grouped_device_windows):
+    the grid-of-problems axis maps 1:1 onto mesh shards and jax.lax.pmin
+    replaces the in-kernel shared bound.  All trials MUST be bases of the
+    same lattice (their distances live on one scale; reference semantics:
+    enum-parallel/enumeration.h:412-505, one bound, many walkers).
+
+    muts (G, d, d) transposed-upper mu per trial, rdiags/prunes (G, d),
+    maxdists (G,) in one common normalized scale.  G must not exceed the
+    mesh size (callers batch otherwise).  Returns (dists, sols, nodes):
+    dists[g] = best squared distance of trial g's OWN walk (inf if its
+    shard found nothing — another trial may still have won), sols (G, d)
+    the corresponding coordinate vectors, nodes (G,) per-trial node
+    counts (root expansion + device sweep).
+    """
+    from ..enum.tpu import TPUEnumerator
+    from ..jaxsetup import jnp
+
+    muts = np.asarray(muts, dtype=np.float64)
+    rdiags = np.asarray(rdiags, dtype=np.float64)
+    prunes = np.asarray(prunes, dtype=np.float64)
+    maxdists = np.asarray(maxdists, dtype=np.float64)
+    G, d, _ = muts.shape
+    n_dev = mesh.devices.size
+    if G > n_dev:
+        raise ValueError(f"{G} trials > {n_dev} mesh devices; batch the "
+                         "trials")
+    helper = TPUEnumerator(batch=batch_per_device)
+    helper.target_root_factor = target_root_factor
+    cp0 = np.zeros(d)
+
+    roots = []
+    host_nodes = np.zeros(G, dtype=np.int64)
+    for g in range(G):
+        helper.nodes = np.zeros(d, dtype=np.int64)
+        rx, ra, rpd, m_real = helper._gen_roots(
+            muts[g], rdiags[g], prunes[g], cp0, float(maxdists[g]), d,
+            True)
+        if m_real > helper.max_device_levels:
+            raise ValueError("window taller than the device kernel; use "
+                             "per-trial deep enumeration instead")
+        order = np.argsort(rpd)
+        roots.append((rx[order], rpd[order], m_real))
+        host_nodes[g] = int(helper.nodes.sum())
+
+    m = min(((max(r[2] for r in roots) + 7) // 8) * 8,
+            helper.max_device_levels)
+    nfix_max = max(d - r[2] for r in roots)
+    nfix_pad = 8
+    while nfix_pad < nfix_max:
+        nfix_pad *= 2
+    R_per = 1024
+    while R_per < max(len(r[1]) for r in roots):
+        R_per *= 2
+
+    mut_pad = np.zeros((n_dev, m, m))
+    rdiag_pad = np.full((n_dev, m), 1e300)
+    prune_pad = np.ones((n_dev, m))
+    cp0_pad = np.zeros((n_dev, m))
+    fix_pad = np.zeros((n_dev, m, nfix_pad))
+    rx_sh = np.zeros((n_dev, R_per, nfix_pad))
+    rpd_sh = np.full((n_dev, R_per), np.inf)
+    own_lens = np.zeros(n_dev, dtype=np.int32)
+    for g in range(G):
+        rx, rpd, m_real = roots[g]
+        nfix = d - m_real
+        mut_pad[g, :m_real, :m_real] = muts[g][:m_real, :m_real]
+        rdiag_pad[g, :m_real] = rdiags[g][:m_real]
+        prune_pad[g, :m_real] = prunes[g][:m_real]
+        fix_pad[g, :m_real, :nfix] = muts[g][:m_real, m_real:d]
+        rx_sh[g, :len(rpd), :nfix] = rx
+        rpd_sh[g, :len(rpd)] = rpd
+        own_lens[g] = len(rpd)
+    for g in range(G, n_dev):        # dead shards: trial-0 geometry,
+        mut_pad[g] = mut_pad[0]      # zero-length stripe
+        rdiag_pad[g] = rdiag_pad[0]
+        prune_pad[g] = prune_pad[0]
+        fix_pad[g] = fix_pad[0]
+
+    A0 = float(np.max(maxdists))
+    run = _build_sharded_run(mesh, m, nfix_pad, True, False, sync_steps,
+                             batch_per_device, "float64",
+                             trial_mode=True)
+    ShardedEnumerator.launches += 1
+    with mesh:
+        out = run(jnp.asarray(mut_pad), jnp.asarray(rdiag_pad),
+                  jnp.asarray(prune_pad), jnp.asarray(fix_pad),
+                  jnp.asarray(cp0_pad),
+                  jnp.asarray(rx_sh.reshape(n_dev * R_per, nfix_pad)),
+                  jnp.asarray(rx_sh.reshape(n_dev * R_per, nfix_pad)),
+                  jnp.asarray(rpd_sh.reshape(n_dev * R_per)),
+                  jnp.asarray(A0, dtype=jnp.float64),
+                  jnp.asarray(own_lens))
+    out = jax.device_get(out)
+
+    K = min(batch_per_device, 128)
+    bd = np.asarray(out["best_dist"], dtype=np.float64).reshape(n_dev, K)
+    bdev = np.asarray(out["best_dev"]).reshape(n_dev, K, m)
+    broot = np.asarray(out["best_root"]).reshape(n_dev, K, nfix_pad)
+    nodes_dev = np.asarray(out["nodes"]).reshape(n_dev, m)
+    dists = np.full(G, np.inf)
+    sols = np.zeros((G, d))
+    nodes = np.zeros(G, dtype=np.int64)
+    for g in range(G):
+        _, rpd, m_real = roots[g]
+        nfix = d - m_real
+        nodes[g] = host_nodes[g] + \
+            int(nodes_dev[g, :m_real].sum())
+        lane = int(np.argmin(np.where(np.isfinite(bd[g]), bd[g], np.inf)))
+        if np.isfinite(bd[g, lane]) and bd[g, lane] <= maxdists[g]:
+            dists[g] = bd[g, lane]
+            sols[g] = np.concatenate([bdev[g, lane, :m_real],
+                                      broot[g, lane, :nfix]])
+    return dists, sols, nodes

@@ -344,3 +344,71 @@ def test_mesh_deep_tree_slices_dd32():
     se.enumerate(mut, rdiag, None, np.zeros(36), A, True, ev)
     assert not ev.empty()
     assert abs(ev.begin()[0] - ref[1]) <= 1e-7 * ref[1]
+
+
+def test_mesh_grouped_trials_shared_bound(mesh):
+    """G rerandomized bases of ONE lattice, one per mesh device, one
+    launch, pmin-shared bound (the pod-scale layout of the single-chip
+    grouped launch; reference enum-parallel/enumeration.h:412-505).
+    The union over trials must find the lattice's true shortest vector,
+    and every reported per-trial solution must be a vector of the SAME
+    lattice with its exact norm."""
+    from fplll_tpu.parallel.mesh import mesh_enumerate_trials
+
+    d, seed, G = 24, 9, 4
+    RandGen.init_with_seed(seed)
+    b0 = gen.gen_uniform(d, 12)
+    lll_reduction(b0)
+
+    # oracle: true lambda_1^2 from the host DFS on trial 0
+    gso0 = MatGSO(b0, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso0.update_gso()
+    A_abs = min(float(gso0.get_int_gram(i, i)) for i in range(d)) * 1.00001
+    ev_c = FastEvaluator()
+    EnumerationDyn(gso0, ev_c).enumerate(0, d, A_abs, 0)
+    lam2 = exact_norm(b0, ev_c.begin()[1])
+
+    # rerandomized trials: unimodular transforms of b0, re-LLL'd
+    bases = [b0]
+    for t in range(1, G):
+        bt = b0.copy()
+        rng = np.random.default_rng(100 + t)
+        for _ in range(3 * d):
+            i, j = rng.integers(0, d, size=2)
+            if i != j:
+                bt.row_addmul(int(i), int(j), int(rng.integers(-2, 3)))
+        lll_reduction(bt)
+        bases.append(bt)
+
+    muts, rdiags, prunes, maxdists, normexps = [], [], [], [], []
+    for bt in bases:
+        g = MatGSO(bt, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+        g.update_gso()
+        mut, rdiag, normexp = g.export_mu_r(0, d)
+        muts.append(mut)
+        rdiags.append(rdiag)
+        prunes.append(np.ones(d))
+        normexps.append(normexp)
+    # one common scale (trial 0's): rescale exported quantities
+    ref = normexps[0]
+    for t in range(G):
+        sc = math.ldexp(1.0, normexps[t] - ref)
+        rdiags[t] = [r * sc for r in rdiags[t]]
+        maxdists.append(math.ldexp(A_abs, -ref))
+
+    dists, sols, nodes = mesh_enumerate_trials(
+        mesh, np.asarray(muts), np.asarray(rdiags), np.asarray(prunes),
+        np.asarray(maxdists), batch_per_device=64, sync_steps=256)
+
+    found = np.isfinite(dists)
+    assert found.any(), "no trial found any vector"
+    # each reported solution is an exact vector of its own basis == the
+    # same lattice; its true norm matches the reported distance
+    for t in np.where(found)[0]:
+        n_exact = exact_norm(bases[t], sols[t])
+        assert n_exact == int(round(math.ldexp(dists[t], ref)))
+        assert nodes[t] > 0
+    # the union finds the true shortest vector
+    best = min(int(round(math.ldexp(dists[t], ref)))
+               for t in np.where(found)[0])
+    assert best == lam2
