@@ -969,6 +969,34 @@ def _pack_Mx_np(mut_pad, rdiag_pad, prune_pad, m: int) -> np.ndarray:
     return Mx
 
 
+def _mesh_grouped_windows(muts, rdiags, prunes, maxdists):
+    """Grouped rerandomized trials one-per-device over a multi-chip mesh
+    (parallel/mesh.py mesh_enumerate_trials): the fallback grouped path
+    when the single-chip grid kernel is unavailable (no Pallas — e.g.
+    the CPU virtual mesh) and a mesh with >= 2 devices is visible.
+    Same CONTRACT as _grouped_device_windows (all trials are bases of
+    one lattice; the pmin radius exchange is the shared bound).
+    Returns (dists, sols, total_nodes) or None to decline."""
+    import os
+
+    if os.environ.get("FPLLL_TPU_MESH_TRIALS", "1") == "0":
+        return None
+    from ..jaxsetup import jax
+    if len(jax.devices()) < 2:
+        return None
+    G = muts.shape[0]
+    if G > len(jax.devices()):
+        return None
+    try:
+        from ..parallel.mesh import make_enum_mesh, mesh_enumerate_trials
+        dists, sols, nodes = mesh_enumerate_trials(
+            make_enum_mesh(), muts, rdiags, prunes, maxdists,
+            batch_per_device=256, sync_steps=1024)
+    except Exception:
+        return None    # undersized windows / over-tall trees: host loop
+    return dists, sols, float(nodes.sum())
+
+
 def _grouped_device_windows(muts, rdiags, prunes, maxdists):
     """All-G-in-ONE-launch path for grouped rerandomized trials: each
     trial's root queue is generated on the host (native expansion), the
@@ -1141,6 +1169,12 @@ def device_enumerate_windows(muts, rdiags, prunes, maxdists):
     if G > 1 and __import__("os").environ.get(
             "FPLLL_TPU_GROUPED_LAUNCH", "1") != "0":
         out = _grouped_device_windows(muts, rdiags, prunes, maxdists)
+        if out is not None:
+            return out
+        # no single-chip grid kernel: with a multi-device mesh visible,
+        # run the G trials one-per-device instead (pmin-shared bound) —
+        # the pod-scale layout of the same shared-bound semantics
+        out = _mesh_grouped_windows(muts, rdiags, prunes, maxdists)
         if out is not None:
             return out
     dists = np.full(G, np.inf)

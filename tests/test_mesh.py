@@ -412,3 +412,40 @@ def test_mesh_grouped_trials_shared_bound(mesh):
     best = min(int(round(math.ldexp(dists[t], ref)))
                for t in np.where(found)[0])
     assert best == lam2
+
+
+def test_grouped_windows_route_via_mesh(mesh, monkeypatch):
+    """With no single-chip grid kernel (CPU virtual mesh) and >= 2
+    devices visible, device_enumerate_windows must route a G > 1
+    grouped launch through mesh_enumerate_trials."""
+    from fplll_tpu.enum import tpu as enum_tpu
+    from fplll_tpu.parallel import mesh as mesh_mod
+
+    calls = {}
+    orig = mesh_mod.mesh_enumerate_trials
+
+    def spy(*a, **k):
+        calls["n"] = calls.get("n", 0) + 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mesh_mod, "mesh_enumerate_trials", spy)
+
+    d, G = 24, 3
+    RandGen.init_with_seed(31)
+    b = gen.gen_uniform(d, 12)
+    lll_reduction(b)
+    gso = MatGSO(b, flags=GSO_INT_GRAM, ctx=MPCtx(70))
+    gso.update_gso()
+    mut, rdiag, normexp = gso.export_mu_r(0, d)
+    A = math.ldexp(
+        min(float(gso.get_int_gram(i, i)) for i in range(d)) * 1.00001,
+        -normexp)
+    dists, sols, total_nodes = enum_tpu.device_enumerate_windows(
+        np.asarray([mut] * G), np.asarray([rdiag] * G), np.ones((G, d)),
+        np.full(G, A))
+    assert calls.get("n", 0) == 1, "grouped launch did not route via mesh"
+    assert np.isfinite(dists).any()
+    assert total_nodes > 0
+    g0 = int(np.argmin(np.where(np.isfinite(dists), dists, np.inf)))
+    assert exact_norm(b, sols[g0]) == int(round(math.ldexp(dists[g0],
+                                                           normexp)))
