@@ -69,7 +69,8 @@ class IntMat:
         return m
 
     def copy(self) -> "IntMat":
-        return IntMat(data=self.a.copy())
+        return type(self)(data=self.a.copy())   # preserves subclasses
+        # (e.g. the fpylll-veneer IntegerMatrix)
 
     # -- shape -------------------------------------------------------------
     @property
