@@ -54,7 +54,8 @@ from .threads import get_threads, set_threads
 
 __all__ = ["FPLLL", "IntegerMatrix", "GSO", "LLL", "BKZ", "SVP", "CVP",
            "Enumeration", "EnumerationError", "EvaluatorStrategy",
-           "Pruning", "ReductionError", "load_strategies_json"]
+           "Pruning", "ReductionError", "load_strategies_json",
+           "simulate"]
 
 
 class ReductionError(RuntimeError):
@@ -409,3 +410,23 @@ class Pruning:
     @staticmethod
     def svp_probability(pruning) -> float:
         return _svp_probability(pruning)
+
+
+def simulate(r, param) -> Tuple[List[float], int]:
+    """fpylll.tools.bkz_simulator.simulate shape: predict the GSO
+    profile of BKZ-param.block_size reduction.  `r` is a list of squared
+    GSO norms, a GSO.Mat object, or an IntegerMatrix; returns
+    (squared-norm profile, tours run).  Backed by the Chen-Nguyen
+    simulator (fplll_tpu.algs.simulator)."""
+    from .algs.simulator import simulate as _sim
+
+    if isinstance(r, IntMat):
+        r = GSO.Mat(r, update=True)
+    if hasattr(r, "get_r_exp"):
+        prof = []
+        for i in range(r.d):
+            v, e = r.get_r_exp(i, i)
+            prof.append(r.ctx.to_float(v) * 2.0 ** e)
+        r = prof
+    tours = getattr(param, "max_loops", 0) or 20
+    return _sim(list(r), param.block_size, tours)

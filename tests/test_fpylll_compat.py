@@ -103,3 +103,21 @@ def test_pruning_run():
     assert 0 < Pruning.svp_probability(pp) <= 1.0
     lp = Pruning.LinearPruningParams(40, 20)
     assert len(lp.coefficients) == 40
+
+
+def test_simulate_shim():
+    from fplll_tpu.fpylll import simulate
+    FPLLL.set_random_seed(3)
+    A = IntegerMatrix.random(60, "qary", k=30, bits=20)
+    LLL.reduction(A)
+    prof, tours = simulate(A, BKZ.Param(40, max_loops=8))
+    assert len(prof) == 60 and tours >= 1
+    M = GSO.Mat(A, update=True)
+    prof2, _ = simulate(M, BKZ.Param(40, max_loops=8))
+    assert prof == prof2
+    # volume conserved
+    import math
+    lv_in = sum(math.log(M.ctx.to_float(M.get_r_exp(i, i)[0])) +
+                M.get_r_exp(i, i)[1] * math.log(2.0) for i in range(60))
+    lv_out = sum(math.log(x) for x in prof)
+    assert abs(lv_out - lv_in) < 1e-6
