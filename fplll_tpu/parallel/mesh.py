@@ -763,7 +763,8 @@ class ShardedEnumerator:
 def mesh_enumerate_trials(mesh: Mesh, muts, rdiags, prunes, maxdists,
                           batch_per_device: int = 256,
                           sync_steps: int = 1024,
-                          target_root_factor: int = 8):
+                          target_root_factor: int = 8,
+                          dtype: str | None = None):
     """Enumerate G rerandomized trials of ONE window, one trial per mesh
     device, sharing the shrinking bound over ICI — the pod-scale layout
     of the single-chip grouped launch (enum/tpu._grouped_device_windows):
@@ -845,23 +846,46 @@ def mesh_enumerate_trials(mesh: Mesh, muts, rdiags, prunes, maxdists,
         fix_pad[g] = fix_pad[0]
 
     A0 = float(np.max(maxdists))
+    is_dd = dtype == "dd32"
+    if is_dd:
+        # dd32 certified-pair trees: f32 virtual-level sentinel + slack
+        rdiag_pad[rdiag_pad >= 1e299] = 1e30
+        A0 *= 1.0 + 1e-9
     run = _build_sharded_run(mesh, m, nfix_pad, True, False, sync_steps,
-                             batch_per_device, "float64",
-                             trial_mode=True)
+                             batch_per_device, "dd32" if is_dd
+                             else "float64", trial_mode=True)
     ShardedEnumerator.launches += 1
+    rx_flat = rx_sh.reshape(n_dev * R_per, nfix_pad)
+    rpd_flat = rpd_sh.reshape(n_dev * R_per)
     with mesh:
-        out = run(jnp.asarray(mut_pad), jnp.asarray(rdiag_pad),
-                  jnp.asarray(prune_pad), jnp.asarray(fix_pad),
-                  jnp.asarray(cp0_pad),
-                  jnp.asarray(rx_sh.reshape(n_dev * R_per, nfix_pad)),
-                  jnp.asarray(rx_sh.reshape(n_dev * R_per, nfix_pad)),
-                  jnp.asarray(rpd_sh.reshape(n_dev * R_per)),
-                  jnp.asarray(A0, dtype=jnp.float64),
-                  jnp.asarray(own_lens))
+        if is_dd:
+            from ..enum.dd_kernel import split_dd
+            mh, ml = split_dd(mut_pad)
+            rh, rl = split_dd(rdiag_pad)
+            ph, pl = split_dd(prune_pad)
+            fh, fl = split_dd(fix_pad)
+            ch, cl = split_dd(cp0_pad)
+            pdh, pdl = split_dd(rpd_flat)
+            Ah, Al = split_dd(np.float64(A0))
+            out = run(mh, ml, rh, rl, ph, pl, fh, fl, ch, cl,
+                      jnp.asarray(rx_flat, jnp.float32),
+                      jnp.asarray(rx_flat, jnp.float32),
+                      pdh, pdl, Ah, Al, jnp.asarray(own_lens))
+        else:
+            out = run(jnp.asarray(mut_pad), jnp.asarray(rdiag_pad),
+                      jnp.asarray(prune_pad), jnp.asarray(fix_pad),
+                      jnp.asarray(cp0_pad),
+                      jnp.asarray(rx_flat), jnp.asarray(rx_flat),
+                      jnp.asarray(rpd_flat),
+                      jnp.asarray(A0, dtype=jnp.float64),
+                      jnp.asarray(own_lens))
     out = jax.device_get(out)
 
     K = min(batch_per_device, 128)
     bd = np.asarray(out["best_dist"], dtype=np.float64).reshape(n_dev, K)
+    if is_dd:
+        bd = bd + np.asarray(out["best_dist_lo"],
+                             dtype=np.float64).reshape(n_dev, K)
     bdev = np.asarray(out["best_dev"]).reshape(n_dev, K, m)
     broot = np.asarray(out["best_root"]).reshape(n_dev, K, nfix_pad)
     nodes_dev = np.asarray(out["nodes"]).reshape(n_dev, m)
@@ -874,7 +898,8 @@ def mesh_enumerate_trials(mesh: Mesh, muts, rdiags, prunes, maxdists,
         nodes[g] = host_nodes[g] + \
             int(nodes_dev[g, :m_real].sum())
         lane = int(np.argmin(np.where(np.isfinite(bd[g]), bd[g], np.inf)))
-        if np.isfinite(bd[g, lane]) and bd[g, lane] <= maxdists[g]:
+        accept = maxdists[g] * (1.0 + 1e-9 if is_dd else 1.0)
+        if np.isfinite(bd[g, lane]) and bd[g, lane] <= accept:
             dists[g] = bd[g, lane]
             sols[g] = np.concatenate([bdev[g, lane, :m_real],
                                       broot[g, lane, :nfix]])

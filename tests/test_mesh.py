@@ -346,7 +346,8 @@ def test_mesh_deep_tree_slices_dd32():
     assert abs(ev.begin()[0] - ref[1]) <= 1e-7 * ref[1]
 
 
-def test_mesh_grouped_trials_shared_bound(mesh):
+@pytest.mark.parametrize("dtype", [None, "dd32"])
+def test_mesh_grouped_trials_shared_bound(mesh, dtype):
     """G rerandomized bases of ONE lattice, one per mesh device, one
     launch, pmin-shared bound (the pod-scale layout of the single-chip
     grouped launch; reference enum-parallel/enumeration.h:412-505).
@@ -398,7 +399,8 @@ def test_mesh_grouped_trials_shared_bound(mesh):
 
     dists, sols, nodes = mesh_enumerate_trials(
         mesh, np.asarray(muts), np.asarray(rdiags), np.asarray(prunes),
-        np.asarray(maxdists), batch_per_device=64, sync_steps=256)
+        np.asarray(maxdists), batch_per_device=64, sync_steps=256,
+        dtype=dtype)
 
     found = np.isfinite(dists)
     assert found.any(), "no trial found any vector"
