@@ -107,34 +107,41 @@ def simulate(r: Sequence[float], beta: int, max_tours: int = 20,
         return list(r), 0
     # work in natural-log norms l_i = log ||b_i*||
     l = [0.5 * math.log(x) for x in r]
-    if n <= tau or beta <= tau // 2:
-        # small problems: the tail model dominates; just HKZ the whole
-        # profile via the tail shape when it fits, else return as-is
-        if n <= tau and beta >= n:
-            total = sum(l)
-            tail = hkz_tail_profile(n) if n >= 4 else [0.0] * n
-            l = [total / n + t for t in tail]
-            return [math.exp(2.0 * x) for x in l], 1
-        if beta <= 2:
-            return list(r), 0
-    tail = hkz_tail_profile(tau) if n > tau else []
+    if beta >= n:
+        # full HKZ: the profile IS the tail shape
+        total = sum(l)
+        tail = hkz_tail_profile(n) if n >= 4 else [0.0] * n
+        l = [total / n + t for t in tail]
+        return [math.exp(2.0 * x) for x in l], 1
+    # the tail must leave at least one head index; for n <= tau the
+    # standard 45-entry tail does not fit and a shorter tail is used
+    # (small-d GH estimates are less accurate — CN11 proper assumes
+    # n > 45 — but far better than predicting no progress at all)
+    tau_eff = min(tau, n - 1)
+    tail = hkz_tail_profile(tau_eff)
     ghd = [0.0] * (beta + 1)
     for d in range(1, beta + 1):
         ghd[d] = log_gh(d)
     total = sum(l)
     tours = 0
+    head_end = n - tau_eff
     for _ in range(max_tours):
         tours += 1
         old = list(l)
+        # prefix sums of the previous tour's values (CN11 Algorithm 3:
+        # logV of block [k, f) = old_prefix(f) - new_prefix(k) — the
+        # volume shed by already-updated head indices shifts into the
+        # remaining blocks within the SAME tour)
+        pre_old = [0.0] * (n + 1)
+        for i in range(n):
+            pre_old[i + 1] = pre_old[i] + old[i]
+        new_head = 0.0
         phi = True  # "no change yet" flag: heads of already-reduced
         # blocks keep their value until the first actual improvement
-        head_end = max(n - tau, 0)
         for k in range(head_end):
             d = min(beta, n - k)
             f = min(k + beta, n)
-            # log-volume of the projected block [k, f): new values for
-            # indices < k (updated in place), previous-tour values after
-            log_v = sum(l[:f]) - sum(l[:k])
+            log_v = pre_old[f] - new_head
             est = log_v / d + ghd[d]
             if phi:
                 if est < l[k]:
@@ -142,10 +149,10 @@ def simulate(r: Sequence[float], beta: int, max_tours: int = 20,
                     phi = False
             else:
                 l[k] = est
-        if n > tau:
-            log_v = total - sum(l[:head_end])
-            for j in range(tau):
-                l[head_end + j] = log_v / tau + tail[j]
+            new_head += l[k]
+        log_v = total - new_head
+        for j in range(tau_eff):
+            l[head_end + j] = log_v / tau_eff + tail[j]
         if all(abs(a - b) < 1e-12 for a, b in zip(l, old)):
             break
     return [math.exp(2.0 * x) for x in l], tours

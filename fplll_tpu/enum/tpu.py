@@ -969,6 +969,9 @@ def _pack_Mx_np(mut_pad, rdiag_pad, prune_pad, m: int) -> np.ndarray:
     return Mx
 
 
+_MESH_TRIALS_WARNED = False
+
+
 def _mesh_grouped_windows(muts, rdiags, prunes, maxdists):
     """Grouped rerandomized trials one-per-device over a multi-chip mesh
     (parallel/mesh.py mesh_enumerate_trials): the fallback grouped path
@@ -992,8 +995,19 @@ def _mesh_grouped_windows(muts, rdiags, prunes, maxdists):
         dists, sols, nodes = mesh_enumerate_trials(
             make_enum_mesh(), muts, rdiags, prunes, maxdists,
             batch_per_device=256, sync_steps=1024)
-    except Exception:
-        return None    # undersized windows / over-tall trees: host loop
+    except ValueError:
+        return None    # documented declines (over-tall trees): host loop
+    except Exception as e:
+        # a real defect in the mesh path must not silently demote every
+        # grouped launch to the sequential host loop: warn once
+        global _MESH_TRIALS_WARNED
+        if not _MESH_TRIALS_WARNED:
+            _MESH_TRIALS_WARNED = True
+            import warnings
+            warnings.warn(f"mesh grouped-trial path failed ({e!r}); "
+                          "falling back to the per-trial host loop",
+                          RuntimeWarning)
+        return None
     return dists, sols, float(nodes.sum())
 
 

@@ -179,6 +179,23 @@ def _multiply_left(B: IntMat, v: Sequence[int], start: int = 0
     return tuple(out)
 
 
+_FT_BY_NAME = {None: "FT_DEFAULT", "": "FT_DEFAULT",
+               "d": "FT_DOUBLE", "double": "FT_DOUBLE",
+               "ld": "FT_LONG_DOUBLE", "long double": "FT_LONG_DOUBLE",
+               "dpe": "FT_DPE", "dd": "FT_DD", "qd": "FT_QD",
+               "mpfr": "FT_MPFR"}
+
+
+def _ft_of(float_type: Optional[str]):
+    """fpylll float-type spelling -> FloatType enum."""
+    try:
+        return getattr(_d, _FT_BY_NAME[None if float_type is None
+                                       else float_type.lower()])
+    except KeyError:
+        raise ValueError(f"unknown float_type {float_type!r}; expected "
+                         f"one of {sorted(k for k in _FT_BY_NAME if k)}")
+
+
 def _ctx_for(float_type: Optional[str], precision: int = 0):
     if float_type in (None, "", "d", "double"):
         if precision and precision > 53:
@@ -232,10 +249,8 @@ class LLL:
                   method: Optional[str] = None,
                   float_type: Optional[str] = None,
                   precision: int = 0, flags: int = 0) -> IntMat:
-        ft = (_d.FT_DEFAULT if float_type in (None, "")
-              else _d.FloatType[f"FT_{float_type.upper().replace('LONG DOUBLE', 'LONG_DOUBLE')}"])
         st = _lll_reduction(B, U, None, delta, eta, LLL._METHODS[method],
-                            ft, precision, flags)
+                            _ft_of(float_type), precision, flags)
         if st != _d.RED_SUCCESS:
             raise ReductionError(_d.RED_STATUS_STR[int(st)])
         return B
@@ -288,9 +303,7 @@ class BKZ:
     def reduction(B: IntMat, o: BKZParam, U: Optional[IntMat] = None,
                   float_type: Optional[str] = None,
                   precision: int = 0) -> IntMat:
-        ft = (_d.FT_DEFAULT if float_type in (None, "")
-              else _d.FloatType[f"FT_{float_type.upper()}"])
-        st = _bkz_reduction(B, o, U, ft, precision)
+        st = _bkz_reduction(B, o, U, _ft_of(float_type), precision)
         if st not in (_d.RED_SUCCESS, _d.RED_BKZ_LOOPS_LIMIT,
                       _d.RED_BKZ_TIME_LIMIT):
             raise ReductionError(_d.RED_STATUS_STR[int(st)])
@@ -311,7 +324,7 @@ class SVP:
         semantics; B must be / will be LLL-reduced in place."""
         if preprocess:
             LLL.reduction(B)
-        if pruning:
+        if pruning is not None and len(pruning):
             st, coeffs, _ = _shortest_vector_pruning(B, list(pruning),
                                                      flags)
         else:
@@ -358,10 +371,15 @@ class Enumeration:
                   dual: bool = False, subtree_reset: bool = False
                   ) -> List[Tuple[float, Tuple[float, ...]]]:
         self._evaluator.solutions.clear()
+        self._evaluator.sub_solutions.clear()
         self._evaluator.sol_count = 0
+        self._last_expo = max_dist_expo
         self._enum.enumerate(first, last, max_dist, max_dist_expo,
                              target if target is not None else (),
-                             subtree, pruning or (), dual, subtree_reset)
+                             subtree,
+                             pruning if pruning is not None and
+                             len(pruning) else (),
+                             dual, subtree_reset)
         if self._evaluator.empty():
             raise EnumerationError("enumeration found no vector in bound")
         out = []
@@ -372,8 +390,11 @@ class Enumeration:
 
     @property
     def sub_solutions(self):
+        """Per-level best partial vectors, distances on the same
+        2^-max_dist_expo scale as enumerate()'s returned solutions."""
         ev = self._evaluator
-        return [(math.ldexp(dist, 0), tuple(c))
+        expo = getattr(self, "_last_expo", 0)
+        return [(math.ldexp(dist, -expo), tuple(c))
                 for dist, c in ev.sub_solutions if c]
 
     def get_nodes(self, level: int = -1) -> int:
@@ -401,10 +422,15 @@ class Pruning:
             pruning=None) -> PruningParams:
         if metric is None:
             metric = _d.PRUNER_METRIC_PROBABILITY_OF_SHORTEST
-        if isinstance(r[0], (list, tuple)):
-            # fpylll accepts a list of profiles; optimize over the first
-            r = r[0]
-        return _prune(radius, preproc_cost, list(r), target_prob,
+        import numpy as _np
+        arr = _np.asarray(r, dtype=float)
+        if arr.ndim == 2:
+            # list of GSO profiles: the Pruner averages over them
+            # (load_basis_shapes semantics, like fpylll)
+            r = [list(row) for row in arr]
+        else:
+            r = list(arr)
+        return _prune(radius, preproc_cost, r, target_prob,
                       metric, flags, pruning=pruning)
 
     @staticmethod

@@ -111,8 +111,12 @@ def test_gen_strategies_uses_simulated_shape_above_70():
     assert lo == gsa                             # GSA regime unchanged
     hi = gs.block_shape(80)
     assert hi != gs.gsa_shape(80)
-    # the simulated head is flatter than the GSA line at the same block
+    # the window is preprocessed at block 52 (the chain's strongest
+    # stage), so the simulated shape is STEEPER than the GSA line of the
+    # target block 80 but no steeper than the GSA line of block 40
     sl_sim = (math.log(hi[0]) - math.log(hi[-1])) / 79
-    sl_gsa = (math.log(gs.gsa_shape(80)[0]) -
-              math.log(gs.gsa_shape(80)[-1])) / 79
-    assert sl_sim < sl_gsa
+    sl80 = (math.log(gs.gsa_shape(80)[0]) -
+            math.log(gs.gsa_shape(80)[-1])) / 79
+    sl40 = (math.log(gs.gsa_shape(40)[0]) -
+            math.log(gs.gsa_shape(40)[-1])) / 39
+    assert sl80 < sl_sim < sl40
